@@ -1,0 +1,84 @@
+package graft
+
+/** Per-block statistics collection + cost-model codec auto-selection — the
+  * engine's centerpiece, re-imagining the reference's capability-based
+  * backend selection (`EncodeToolsAuto` picks native impls when loadable,
+  * /root/reference/src/EncodeTools.ts:514-523, README.md:147-158) as
+  * data-driven per-block selection: stats → estimated encoded size per codec
+  * → argmin with a deterministic tie-break (estimate asc, then codec id asc),
+  * so a resumed or retried task always picks the same codec.
+  */
+object Analyzer {
+  /** Exact-distinct tracking cap; above this Dict/Fsst are ruled out anyway. */
+  val DistinctCap: Int = 1 << 17
+  /** Bigram stats are gathered on at most this many leading tokens. */
+  val PairSampleCap: Int = 1 << 16
+
+  def stats(tokens: Array[Int]): BlockStats = {
+    val n = tokens.length
+    if (n == 0) return BlockStats(0, 0, 0, 0, 0, distinctExact = true, 0)
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var runs = 1
+    var i = 0
+    var prev = tokens(0)
+    val seen = new java.util.HashSet[Integer](math.min(n, 1 << 12))
+    var distinctExact = true
+    while (i < n) {
+      val v = tokens(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      if (i > 0 && v != prev) runs += 1
+      prev = v
+      if (distinctExact) {
+        seen.add(v)
+        if (seen.size > DistinctCap) distinctExact = false
+      }
+      i += 1
+    }
+    val distinct = if (distinctExact) seen.size else DistinctCap + 1
+
+    // single-round pair gain on a leading sample, scaled to the full block
+    val sampleN = math.min(n, PairSampleCap)
+    var pairGain = 0
+    if (sampleN >= 8 && mn >= 0 && mx < FsstCodec.SymbolBase) {
+      val freq = new java.util.HashMap[Long, Int](1 << 12)
+      i = 0
+      while (i + 1 < sampleN) {
+        val key = (tokens(i).toLong << 32) | (tokens(i + 1).toLong & 0xffffffffL)
+        freq.merge(key, 1, (a: Int, b: Int) => a + b)
+        i += 2 // stride 2: non-overlapping estimate, halves the cost
+      }
+      val entries = new java.util.ArrayList[java.util.Map.Entry[Long, Int]](freq.entrySet())
+      entries.sort((a, b) => Integer.compare(b.getValue, a.getValue))
+      var k = 0
+      var gain = 0L
+      while (k < FsstCodec.PairsPerRound && k < entries.size()) {
+        val c = entries.get(k).getValue
+        if (c >= 2) gain += c
+        k += 1
+      }
+      // stride-2 counting saw n/2 positions; scale to full block
+      pairGain = math.min((gain * 2L * n / sampleN), n / 2L).toInt
+    }
+    BlockStats(n, mn, mx, runs, distinct, distinctExact, pairGain)
+  }
+
+  /** Pick the cheapest applicable codec for a block. Deterministic:
+    * estimates are pure functions of stats; ties break on codec id.
+    */
+  def select(s: BlockStats, policy: String = "auto"): TokenCodec = {
+    if (policy != "auto") return CodecRegistry.byName(policy)
+    var best: TokenCodec = PlainCodec
+    var bestEst = PlainCodec.estimate(s)
+    CodecRegistry.all.foreach { c =>
+      if (c.applicable(s)) {
+        val e = c.estimate(s)
+        if (e < bestEst || (e == bestEst && c.id < best.id)) {
+          best = c; bestEst = e
+        }
+      }
+    }
+    best
+  }
+}

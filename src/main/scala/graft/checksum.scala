@@ -1,0 +1,116 @@
+package graft
+
+/** XXH64 checksum + the canonical byte layout of a token block.
+  *
+  * The reference canonicalizes objects before hashing (`hashObject`'s
+  * ObjSorter pass, /root/reference/src/EncodeTools.ts:1039-1047) so
+  * logically-equal inputs hash equal. The engine's analog is a fixed
+  * little-endian layout of each block — `[n_tok:int32][tokens:int32...]` per
+  * row in doc_id order — so checksums are independent of platform,
+  * partition count, and task retry.
+  *
+  * The digest is standard XXH64 (Yann Collet's spec), the same algorithm
+  * behind the reference's default `HashAlgorithm.xxhash64`
+  * (/root/reference/src/EncodeTools.ts:907-909) and behind Spark's built-in
+  * `xxhash64` expression, with Spark's default seed 42 so SQL-level spot
+  * checks cross-validate engine checksums (verified in ChecksumSpec).
+  */
+object Checksum {
+  final val Seed = 42L
+
+  private final val P1 = -7046029288634856825L // 0x9E3779B185EBCA87
+  private final val P2 = -4417276706812531889L // 0xC2B2AE3D27D4EB4F
+  private final val P3 = 1609587929392839161L // 0x165667B19E3779F9
+  private final val P4 = -8796714831421723037L // 0x85EBCA77C2B2AE63
+  private final val P5 = 2870177450012600261L // 0x27D4EB2F165667C5
+
+  private def readLongLE(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) |
+      ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24) |
+      ((b(i + 4) & 0xffL) << 32) |
+      ((b(i + 5) & 0xffL) << 40) |
+      ((b(i + 6) & 0xffL) << 48) |
+      ((b(i + 7) & 0xffL) << 56)
+
+  private def readIntLE(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) |
+      ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 3) & 0xff) << 24)
+
+  def xxh64(data: Array[Byte], seed: Long = Seed): Long =
+    xxh64(data, 0, data.length, seed)
+
+  def xxh64(data: Array[Byte], off: Int, len: Int, seed: Long): Long = {
+    val end = off + len
+    var h: Long = 0L
+    var i = off
+    if (len >= 32) {
+      var v1 = seed + P1 + P2
+      var v2 = seed + P2
+      var v3 = seed
+      var v4 = seed - P1
+      val limit = end - 32
+      while (i <= limit) {
+        v1 = java.lang.Long.rotateLeft(v1 + readLongLE(data, i) * P2, 31) * P1
+        v2 = java.lang.Long.rotateLeft(v2 + readLongLE(data, i + 8) * P2, 31) * P1
+        v3 = java.lang.Long.rotateLeft(v3 + readLongLE(data, i + 16) * P2, 31) * P1
+        v4 = java.lang.Long.rotateLeft(v4 + readLongLE(data, i + 24) * P2, 31) * P1
+        i += 32
+      }
+      h = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+        java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+      h = (h ^ java.lang.Long.rotateLeft(v1 * P2, 31) * P1) * P1 + P4
+      h = (h ^ java.lang.Long.rotateLeft(v2 * P2, 31) * P1) * P1 + P4
+      h = (h ^ java.lang.Long.rotateLeft(v3 * P2, 31) * P1) * P1 + P4
+      h = (h ^ java.lang.Long.rotateLeft(v4 * P2, 31) * P1) * P1 + P4
+    } else {
+      h = seed + P5
+    }
+    h += len
+    while (i + 8 <= end) {
+      h ^= java.lang.Long.rotateLeft(readLongLE(data, i) * P2, 31) * P1
+      h = java.lang.Long.rotateLeft(h, 27) * P1 + P4
+      i += 8
+    }
+    if (i + 4 <= end) {
+      h ^= (readIntLE(data, i) & 0xffffffffL) * P1
+      h = java.lang.Long.rotateLeft(h, 23) * P2 + P3
+      i += 4
+    }
+    while (i < end) {
+      h ^= (data(i) & 0xffL) * P5
+      h = java.lang.Long.rotateLeft(h, 11) * P1
+      i += 1
+    }
+    h ^= h >>> 33
+    h *= P2
+    h ^= h >>> 29
+    h *= P3
+    h ^= h >>> 32
+    h
+  }
+
+  /** Canonical bytes of one row: [n_tok int32 LE][tokens int32 LE ...]. */
+  def canonicalRowSize(nTok: Int): Int = 4 + 4 * nTok
+
+  /** Canonical bytes of a block of rows (token arrays in row order). */
+  def canonicalBlockBytes(tokenArrays: Iterable[Array[Int]]): Array[Byte] = {
+    var total = 0
+    tokenArrays.foreach(a => total += canonicalRowSize(a.length))
+    val out = new Array[Byte](total)
+    var pos = 0
+    tokenArrays.foreach { a =>
+      Bits.writeIntLE(out, pos, a.length); pos += 4
+      var i = 0
+      while (i < a.length) { Bits.writeIntLE(out, pos, a(i)); pos += 4; i += 1 }
+    }
+    out
+  }
+
+  /** Streaming-free convenience: checksum of a block's canonical bytes. */
+  def blockChecksum(tokenArrays: Iterable[Array[Int]]): Long =
+    xxh64(canonicalBlockBytes(tokenArrays))
+}

@@ -1,0 +1,384 @@
+package graft
+
+import Bits._
+
+/** A lightweight compression codec over one block's concatenated token
+  * stream. The family is the Spark-native re-imagining of the reference's
+  * paired encode/decode leaf functions behind one dispatch interface
+  * (`encodeBuffer`/`decodeBuffer`, /root/reference/src/EncodeTools.ts:784-796,
+  * 869-881): every codec is a pure reversible transform obeying
+  * `decode(encode(x), x.length) == x` bit-identically — the reference's
+  * round-trip law (/root/reference/src/test/common/EncodeToolsRunner.ts:103-129).
+  */
+trait TokenCodec extends Serializable {
+  def id: Int
+  def name: String
+
+  /** Whether this codec can encode a block with these stats at all. */
+  def applicable(s: BlockStats): Boolean = true
+
+  /** Estimated encoded bytes, used by the cost model. Must be cheap. */
+  def estimate(s: BlockStats): Long
+
+  def encode(tokens: Array[Int]): Array[Byte]
+  def decode(bytes: Array[Byte], n: Int): Array[Int]
+}
+
+/** Verbatim little-endian int32 — the identity codec, analog of
+  * `BinaryEncoding.nodeBuffer` (/root/reference/src/EncodeTools.ts:786).
+  * Always applicable; the cost model's fallback and upper bound.
+  */
+object PlainCodec extends TokenCodec {
+  val id = 0; val name = "plain"
+  def estimate(s: BlockStats): Long = 4L * s.n
+  def encode(tokens: Array[Int]): Array[Byte] = intsToBytesLE(tokens)
+  def decode(bytes: Array[Byte], n: Int): Array[Int] = {
+    val out = bytesToIntsLE(bytes)
+    require(out.length == n, s"plain: expected $n ints, got ${out.length}")
+    out
+  }
+}
+
+/** Fixed-width bit packing at ceil(log2(max+1)) bits. Layout:
+  * [width:u8][packed LSB-first]. Requires non-negative values.
+  */
+object BitPackCodec extends TokenCodec {
+  val id = 1; val name = "bitpack"
+  override def applicable(s: BlockStats): Boolean = s.min >= 0
+  def estimate(s: BlockStats): Long =
+    if (s.min < 0) Long.MaxValue else 1L + packedSize(s.n, bitsNeeded(s.max))
+  def encode(tokens: Array[Int]): Array[Byte] = {
+    var max = 0
+    var i = 0
+    while (i < tokens.length) {
+      require(tokens(i) >= 0, "bitpack requires non-negative tokens")
+      if (tokens(i) > max) max = tokens(i); i += 1
+    }
+    val w = bitsNeeded(max)
+    val out = new Array[Byte](1 + packedSize(tokens.length, w))
+    out(0) = w.toByte
+    pack(tokens, 0, tokens.length, w, out, 1)
+    out
+  }
+  def decode(bytes: Array[Byte], n: Int): Array[Int] = {
+    val w = bytes(0) & 0xff
+    val out = new Array[Int](n)
+    unpack(bytes, 1, n, w, out, 0)
+    out
+  }
+}
+
+/** Frame-of-reference: subtract the block min, bit-pack the deltas.
+  * Layout: [min:int32 LE][width:u8][packed deltas]. Handles any Int range —
+  * deltas are computed in 32-bit wraparound arithmetic whose low bits equal
+  * the true unsigned delta (max-min < 2^32 always holds for Int).
+  */
+object ForCodec extends TokenCodec {
+  val id = 2; val name = "for"
+  def estimate(s: BlockStats): Long = {
+    val range = (s.max.toLong - s.min.toLong) & 0xffffffffL
+    5L + packedSize(s.n, bitsNeededLong(range))
+  }
+  def encode(tokens: Array[Int]): Array[Byte] = {
+    var mn = Int.MaxValue; var mx = Int.MinValue
+    var i = 0
+    while (i < tokens.length) {
+      val v = tokens(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    if (tokens.isEmpty) { mn = 0; mx = 0 }
+    val range = (mx.toLong - mn.toLong) & 0xffffffffL
+    val w = bitsNeededLong(range)
+    val deltas = new Array[Int](tokens.length)
+    i = 0
+    while (i < tokens.length) { deltas(i) = tokens(i) - mn; i += 1 }
+    val out = new Array[Byte](5 + packedSize(tokens.length, w))
+    writeIntLE(out, 0, mn)
+    out(4) = w.toByte
+    pack(deltas, 0, deltas.length, w, out, 5)
+    out
+  }
+  def decode(bytes: Array[Byte], n: Int): Array[Int] = {
+    val mn = readIntLE(bytes, 0)
+    val w = bytes(4) & 0xff
+    val out = new Array[Int](n)
+    unpack(bytes, 5, n, w, out, 0)
+    var i = 0
+    while (i < n) { out(i) += mn; i += 1 }
+    out
+  }
+}
+
+/** Run-length encoding: [(value zigzag-varint, runLen varint)...] until n
+  * tokens are produced. Wins on long constant runs.
+  */
+object RleCodec extends TokenCodec {
+  val id = 3; val name = "rle"
+  def estimate(s: BlockStats): Long = 5L * s.runs
+  def encode(tokens: Array[Int]): Array[Byte] = {
+    if (tokens.isEmpty) return Array.emptyByteArray
+    // worst case: every token its own run -> (5 + 1) bytes per run
+    val out = new Array[Byte](tokens.length * 11 + 16)
+    var pos = 0
+    var i = 0
+    while (i < tokens.length) {
+      val v = tokens(i)
+      var run = 1
+      while (i + run < tokens.length && tokens(i + run) == v) run += 1
+      pos = writeVarint(out, pos, zigzag(v))
+      pos = writeVarint(out, pos, run.toLong)
+      i += run
+    }
+    java.util.Arrays.copyOf(out, pos)
+  }
+  def decode(bytes: Array[Byte], n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    val cur = new Cursor(0)
+    var i = 0
+    while (i < n) {
+      val v = unzigzag(readVarint(bytes, cur))
+      val run = readVarint(bytes, cur).toInt
+      java.util.Arrays.fill(out, i, i + run, v)
+      i += run
+    }
+    out
+  }
+}
+
+/** Dictionary encoding: sorted distinct values stored as delta varints, then
+  * dense codes bit-packed at ceil(log2(|dict|)) bits. Layout:
+  * [dictSize varint][first zigzag-varint][delta varints...][width:u8][codes].
+  */
+object DictCodec extends TokenCodec {
+  val id = 4; val name = "dict"
+  val MaxDict = 1 << 20
+  override def applicable(s: BlockStats): Boolean = s.distinctExact
+  def estimate(s: BlockStats): Long =
+    if (!s.distinctExact) Long.MaxValue
+    else {
+      val w = if (s.distinct <= 1) 0 else bitsNeeded(s.distinct - 1)
+      4L + 3L * s.distinct + 1L + packedSize(s.n, w)
+    }
+  def encode(tokens: Array[Int]): Array[Byte] = {
+    // sort a copy, dedupe in place -> sorted dict; codes via binary search
+    // (boxing-free, n log d)
+    val sorted = tokens.clone()
+    java.util.Arrays.sort(sorted)
+    var d = 0
+    var i = 0
+    while (i < sorted.length) {
+      if (d == 0 || sorted(i) != sorted(d - 1)) { sorted(d) = sorted(i); d += 1 }
+      i += 1
+    }
+    require(d <= MaxDict, s"dict too large: $d")
+    val dict = java.util.Arrays.copyOf(sorted, d)
+    val codes = new Array[Int](tokens.length)
+    i = 0
+    while (i < tokens.length) {
+      codes(i) = java.util.Arrays.binarySearch(dict, tokens(i))
+      i += 1
+    }
+    val w = if (dict.length <= 1) 0 else bitsNeeded(dict.length - 1)
+    val out = new Array[Byte](10 + 10 * dict.length + 1 +
+      packedSize(tokens.length, w))
+    var pos = writeVarint(out, 0, dict.length.toLong)
+    if (dict.nonEmpty) {
+      pos = writeVarint(out, pos, zigzag(dict(0)))
+      i = 1
+      while (i < dict.length) {
+        pos = writeVarint(out, pos, (dict(i).toLong - dict(i - 1).toLong))
+        i += 1
+      }
+    }
+    out(pos) = w.toByte; pos += 1
+    pos += pack(codes, 0, codes.length, w, out, pos)
+    java.util.Arrays.copyOf(out, pos)
+  }
+  def decode(bytes: Array[Byte], n: Int): Array[Int] = {
+    val cur = new Cursor(0)
+    val dictSize = readVarint(bytes, cur).toInt
+    val dict = new Array[Int](dictSize)
+    if (dictSize > 0) {
+      dict(0) = unzigzag(readVarint(bytes, cur))
+      var i = 1
+      while (i < dictSize) {
+        dict(i) = (dict(i - 1).toLong + readVarint(bytes, cur)).toInt
+        i += 1
+      }
+    }
+    val w = bytes(cur.pos) & 0xff; cur.pos += 1
+    val codes = new Array[Int](n)
+    unpack(bytes, cur.pos, n, w, codes, 0)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = dict(codes(i)); i += 1 }
+    out
+  }
+}
+
+/** FSST-style static symbol-table compression adapted from byte strings
+  * (Boncz/Neumann/Freitag, "FSST: Fast Random Access String Compression",
+  * VLDB 2020) to int-token streams: iterative rounds of frequent-pair
+  * merging (BPE-like) build a symbol table whose entries reference tokens or
+  * earlier symbols; the merged stream is then dictionary-encoded. Fully
+  * deterministic (frequency-then-value tie-breaks) for resumability.
+  *
+  * Layout: [nSymbols varint][(left varint, right varint) x nSymbols]
+  *         [mergedLen varint][DictCodec bytes of merged stream].
+  * Symbol s (0-based) is referenced in streams/pairs as SymbolBase + s.
+  */
+object FsstCodec extends TokenCodec {
+  val id = 5; val name = "fsst"
+  val SymbolBase: Int = 1 << 28
+  val MaxRounds = 8
+  val PairsPerRound = 96
+  val MinPairFreq = 4
+
+  override def applicable(s: BlockStats): Boolean =
+    s.min >= 0 && s.max < SymbolBase && s.distinctExact
+
+  def estimate(s: BlockStats): Long = {
+    if (!applicable(s)) return Long.MaxValue
+    // assume multi-round merging roughly doubles the single-round pair gain,
+    // capped at half the stream; symbol table overhead ~6 bytes/symbol
+    val gain = math.min(s.pairGain.toLong * 2, s.n / 2L)
+    val n2 = s.n - gain
+    val alpha = s.distinct + 512
+    val w = bitsNeeded(alpha - 1)
+    6L * 512 + 4L + 3L * alpha + packedSize(n2.toInt, w)
+  }
+
+  def encode(tokens: Array[Int]): Array[Byte] = {
+    var stream = tokens
+    val symLeft = new java.util.ArrayList[Integer]()
+    val symRight = new java.util.ArrayList[Integer]()
+    var round = 0
+    var continue = stream.length >= 8
+    while (round < MaxRounds && continue) {
+      // count bigram frequencies
+      val freq = new java.util.HashMap[Long, Int](1 << 12)
+      var i = 0
+      while (i + 1 < stream.length) {
+        val key = (stream(i).toLong << 32) | (stream(i + 1).toLong & 0xffffffffL)
+        freq.merge(key, 1, (a: Int, b: Int) => a + b)
+        i += 1
+      }
+      // pick top pairs deterministically: by freq desc, then key asc
+      val entries = new java.util.ArrayList[java.util.Map.Entry[Long, Int]](freq.entrySet())
+      entries.sort { (a, b) =>
+        val c = Integer.compare(b.getValue, a.getValue)
+        if (c != 0) c else java.lang.Long.compare(a.getKey, b.getKey)
+      }
+      val picked = new java.util.HashMap[Long, Int]()
+      var k = 0
+      var idx = 0
+      while (k < PairsPerRound && idx < entries.size()) {
+        val e = entries.get(idx)
+        if (e.getValue >= MinPairFreq) {
+          val sym = SymbolBase + symLeft.size()
+          symLeft.add((e.getKey >>> 32).toInt)
+          symRight.add((e.getKey & 0xffffffffL).toInt)
+          picked.put(e.getKey, sym)
+          k += 1
+        }
+        idx += 1
+      }
+      if (picked.isEmpty) continue = false
+      else {
+        // greedy non-overlapping left-to-right replacement
+        val out = new Array[Int](stream.length)
+        var o = 0
+        i = 0
+        while (i < stream.length) {
+          if (i + 1 < stream.length) {
+            val key = (stream(i).toLong << 32) | (stream(i + 1).toLong & 0xffffffffL)
+            val sym = picked.getOrDefault(key, -1)
+            if (sym >= 0) { out(o) = sym; o += 1; i += 2 }
+            else { out(o) = stream(i); o += 1; i += 1 }
+          } else { out(o) = stream(i); o += 1; i += 1 }
+        }
+        val gained = stream.length - o
+        stream = java.util.Arrays.copyOf(out, o)
+        if (gained < stream.length / 64 + 1) continue = false
+      }
+      round += 1
+    }
+    val nSym = symLeft.size()
+    val body = DictCodec.encode(stream)
+    val out = new Array[Byte](10 + 10 * nSym + 10 + body.length)
+    var pos = writeVarint(out, 0, nSym.toLong)
+    var s = 0
+    while (s < nSym) {
+      pos = writeVarint(out, pos, symLeft.get(s).toLong)
+      pos = writeVarint(out, pos, symRight.get(s).toLong)
+      s += 1
+    }
+    pos = writeVarint(out, pos, stream.length.toLong)
+    System.arraycopy(body, 0, out, pos, body.length)
+    java.util.Arrays.copyOf(out, pos + body.length)
+  }
+
+  def decode(bytes: Array[Byte], n: Int): Array[Int] = {
+    val cur = new Cursor(0)
+    val nSym = readVarint(bytes, cur).toInt
+    val left = new Array[Int](nSym)
+    val right = new Array[Int](nSym)
+    var s = 0
+    while (s < nSym) {
+      left(s) = readVarint(bytes, cur).toInt
+      right(s) = readVarint(bytes, cur).toInt
+      s += 1
+    }
+    val mergedLen = readVarint(bytes, cur).toInt
+    val body = java.util.Arrays.copyOfRange(bytes, cur.pos, bytes.length)
+    val merged = DictCodec.decode(body, mergedLen)
+    val out = new Array[Int](n)
+    var o = 0
+    // iterative expansion with an explicit stack (symbols reference earlier
+    // symbols; depth bounded by MaxRounds)
+    val stack = new Array[Int](64)
+    var i = 0
+    while (i < mergedLen) {
+      var top = 0
+      stack(top) = merged(i); top += 1
+      while (top > 0) {
+        top -= 1
+        val v = stack(top)
+        if (v >= SymbolBase) {
+          val sym = v - SymbolBase
+          stack(top) = right(sym); top += 1
+          stack(top) = left(sym); top += 1
+        } else {
+          out(o) = v; o += 1
+        }
+      }
+      i += 1
+    }
+    require(o == n, s"fsst: expanded $o tokens, expected $n")
+    out
+  }
+}
+
+/** Closed-world codec dispatch, the analog of the reference's enum→impl
+  * if/else chains with `InvalidFormat` on unknown ids
+  * (/root/reference/src/EncodeTools.ts:784-796, 301-310).
+  */
+object CodecRegistry {
+  val all: Seq[TokenCodec] =
+    Seq(PlainCodec, BitPackCodec, ForCodec, RleCodec, DictCodec, FsstCodec)
+
+  private val byIdMap: Map[Int, TokenCodec] = all.map(c => c.id -> c).toMap
+  private val byNameMap: Map[String, TokenCodec] = all.map(c => c.name -> c).toMap
+
+  def byId(id: Int): TokenCodec =
+    byIdMap.getOrElse(id, throw new InvalidCodecException(s"unknown codec id $id"))
+  def byName(name: String): TokenCodec =
+    byNameMap.getOrElse(name, throw new InvalidCodecException(s"unknown codec '$name'"))
+
+  def encode(name: String, tokens: Array[Int]): Array[Byte] =
+    byName(name).encode(tokens)
+  def decode(name: String, bytes: Array[Byte], n: Int): Array[Int] =
+    byName(name).decode(bytes, n)
+}

@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** Per-partition lineage + metrics recorded in every snapshot. */
+final case class PartLineage(
+    part_id: Int,
+    n_blocks: Long,
+    n_docs: Long,
+    n_tokens: Long,
+    raw_bytes: Long,
+    encoded_bytes: Long,
+    checksum_xor: Long,
+    codecs: Map[String, Long],
+    wall_micros: Long
+)
+
+/** One committed snapshot of the encoded table. */
+final case class Snapshot(
+    version: Int,
+    committedAtMillis: Long,
+    plan: PartitionPlan,
+    committed: Set[Int],
+    lineage: Map[Int, PartLineage]
+)
+
+/** Iceberg-style append-only snapshot log over partitioned Parquet.
+  *
+  * No Iceberg runtime jar ships in this sandbox (see SURVEY.md §7.0), so the
+  * table format is emulated with the same commit semantics Iceberg uses: an
+  * immutable versioned metadata file per snapshot, made visible by a single
+  * atomic rename — readers either see the whole snapshot or none of it.
+  * Layout: `data/part_id=K/` parquet files + `snapshots/vNNNNN.json`.
+  *
+  * Uses the Hadoop FileSystem API so the same code runs on HDFS/object
+  * stores on a real cluster, not just local files.
+  */
+object ManifestIO {
+  private def mapper = new ObjectMapper()
+
+  def snapshotsDir(table: String) = new Path(table, "snapshots")
+  def dataDir(table: String) = new Path(table, "data")
+
+  def fs(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def latest(spark: SparkSession, table: String): Option[Snapshot] = {
+    val f = fs(spark, table)
+    val dir = snapshotsDir(table)
+    if (!f.exists(dir)) return None
+    val versions = f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
+    if (versions.isEmpty) None
+    else {
+      val v = versions.max
+      val in = f.open(new Path(dir, f"v$v%05d.json"))
+      val bytes =
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      Some(fromJson(mapper.readTree(bytes)))
+    }
+  }
+
+  def write(spark: SparkSession, table: String, s: Snapshot): Unit = {
+    val f = fs(spark, table)
+    val dir = snapshotsDir(table)
+    f.mkdirs(dir)
+    val tmp = new Path(dir, f".v${s.version}%05d.json.tmp")
+    val dst = new Path(dir, f"v${s.version}%05d.json")
+    val out = f.create(tmp, true)
+    try out.write(toJson(s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"snapshot commit failed: $tmp -> $dst")
+  }
+
+  def toJson(s: Snapshot): String = {
+    val m = mapper
+    val root = m.createObjectNode()
+    root.put("version", s.version)
+    root.put("committed_at", s.committedAtMillis)
+    val p = root.putObject("plan")
+    val ba = p.putArray("boundaries"); s.plan.boundaries.foreach(ba.add)
+    val sa = p.putArray("saltOf"); s.plan.saltOf.foreach(sa.add)
+    val oa = p.putArray("partOffset"); s.plan.partOffset.foreach(oa.add)
+    p.put("numParts", s.plan.numParts)
+    val ca = root.putArray("committed"); s.committed.toSeq.sorted.foreach(ca.add)
+    val ln = root.putObject("lineage")
+    s.lineage.toSeq.sortBy(_._1).foreach { case (k, l) =>
+      val o = ln.putObject(k.toString)
+      o.put("part_id", l.part_id)
+      o.put("n_blocks", l.n_blocks)
+      o.put("n_docs", l.n_docs)
+      o.put("n_tokens", l.n_tokens)
+      o.put("raw_bytes", l.raw_bytes)
+      o.put("encoded_bytes", l.encoded_bytes)
+      o.put("checksum_xor", l.checksum_xor)
+      o.put("wall_micros", l.wall_micros)
+      val c = o.putObject("codecs")
+      l.codecs.toSeq.sortBy(_._1).foreach { case (n, v) => c.put(n, v) }
+    }
+    root.toPrettyString
+  }
+
+  def fromJson(root: JsonNode): Snapshot = {
+    def intArray(n: JsonNode): Array[Int] =
+      n.elements().asScala.map(_.asInt).toArray
+    val p = root.get("plan")
+    val plan = PartitionPlan(
+      p.get("boundaries").elements().asScala.map(_.asText).toArray,
+      intArray(p.get("saltOf")),
+      intArray(p.get("partOffset")),
+      p.get("numParts").asInt
+    )
+    val lineage = root.get("lineage").fields().asScala.map { e =>
+      val o = e.getValue
+      val codecs = o.get("codecs").fields().asScala
+        .map(c => c.getKey -> c.getValue.asLong).toMap
+      e.getKey.toInt -> PartLineage(
+        o.get("part_id").asInt,
+        o.get("n_blocks").asLong,
+        o.get("n_docs").asLong,
+        o.get("n_tokens").asLong,
+        o.get("raw_bytes").asLong,
+        o.get("encoded_bytes").asLong,
+        o.get("checksum_xor").asLong,
+        codecs,
+        o.get("wall_micros").asLong
+      )
+    }.toMap
+    Snapshot(
+      root.get("version").asInt,
+      root.get("committed_at").asLong,
+      plan,
+      root.get("committed").elements().asScala.map(_.asInt).toSet,
+      lineage
+    )
+  }
+}
+
+/** Resumable encode job: encodes only partitions not yet committed to the
+  * latest snapshot, in bounded batches, committing a new snapshot per batch.
+  * An interrupted `spark-submit` rerun therefore continues from the last
+  * committed snapshot (north_rule), re-encoding at most one in-flight batch
+  * whose stale files are cleaned deterministically before re-write.
+  */
+object ResumableEncodeJob {
+
+  /** @param maxPartsPerRun bound on partitions encoded by this invocation
+    *                       (tests use it to simulate interruption)
+    * @return the latest snapshot after this run
+    */
+  def run(
+      input: Dataset[TokenRow],
+      table: String,
+      opts: EncodeOptions = EncodeOptions.default,
+      maxPartsPerRun: Int = Int.MaxValue
+  ): Snapshot = {
+    val spark = input.sparkSession
+    val compressor = TokenCompressor(opts)
+
+    val base = ManifestIO.latest(spark, table).getOrElse {
+      val plan = Planner.plan(input, opts)
+      val s0 = Snapshot(0, System.currentTimeMillis(), plan, Set.empty, Map.empty)
+      ManifestIO.write(spark, table, s0)
+      s0
+    }
+    val plan = base.plan
+    val pending = (0 until plan.numParts).filterNot(base.committed)
+    if (pending.isEmpty) return base
+    val batch = pending.take(maxPartsPerRun).toSet
+
+    // deterministic cleanup of any uncommitted leftovers for this batch
+    val f = ManifestIO.fs(spark, table)
+    batch.foreach { pid =>
+      val d = new Path(ManifestIO.dataDir(table), s"part_id=$pid")
+      if (f.exists(d)) f.delete(d, true)
+    }
+
+    val blocks = compressor.encodeWithPlan(input, plan, Some(batch))
+    blocks.toDF().write
+      .mode(SaveMode.Append)
+      .partitionBy("part_id")
+      .parquet(ManifestIO.dataDir(table).toString)
+
+    // lineage from the committed files themselves (column-pruned read: the
+    // payload column is never touched)
+    val written = spark.read.parquet(ManifestIO.dataDir(table).toString)
+      .where(col("part_id").isin(batch.toSeq: _*))
+    val lin = written.groupBy("part_id").agg(
+      count(lit(1)).as("n_blocks"),
+      sum("n_docs").as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      sum("raw_bytes").as("raw_bytes"),
+      sum("encoded_bytes").as("encoded_bytes"),
+      sum("enc_micros").as("wall_micros")
+    ).collect().map { r =>
+      r.getAs[Int]("part_id") -> PartLineage(
+        r.getAs[Int]("part_id"),
+        r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("raw_bytes"),
+        r.getAs[Long]("encoded_bytes"),
+        0L, // filled below
+        Map.empty[String, Long],
+        r.getAs[Long]("wall_micros")
+      )
+    }.toMap
+    val codecCounts = written.groupBy("part_id", "codec").count().collect()
+      .groupBy(_.getAs[Int]("part_id"))
+      .map { case (pid, rows) =>
+        pid -> rows.map(r => r.getAs[String]("codec") -> r.getAs[Long]("count")).toMap
+      }
+    val ckx = written.groupBy("part_id")
+      .agg(expr("cast(aggregate(collect_list(checksum), 0L, (a, x) -> a ^ x) as long)").as("x"))
+      .collect().map(r => r.getAs[Int]("part_id") -> r.getAs[Long]("x")).toMap
+    val lineage = lin.map { case (pid, l) =>
+      pid -> l.copy(
+        codecs = codecCounts.getOrElse(pid, Map.empty),
+        checksum_xor = ckx.getOrElse(pid, 0L)
+      )
+    }
+
+    // parts in the batch with zero rows still count as committed
+    val next = Snapshot(
+      base.version + 1,
+      System.currentTimeMillis(),
+      plan,
+      base.committed ++ batch,
+      base.lineage ++ lineage
+    )
+    ManifestIO.write(spark, table, next)
+    next
+  }
+
+  /** Read the encoded table back as blocks (latest snapshot's parts only). */
+  def readBlocks(spark: SparkSession, table: String): Dataset[EncodedBlock] = {
+    import org.apache.spark.sql.Encoders
+    val snap = ManifestIO.latest(spark, table)
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $table"))
+    val committed = snap.committed.toSeq
+    val df = spark.read.parquet(ManifestIO.dataDir(table).toString)
+      .where(col("part_id").isin(committed: _*))
+    // partitionBy pushed part_id to the directory key; restore column order
+    val cols = Encoders.product[EncodedBlock].schema.fieldNames.map(col)
+    df.select(cols.toSeq: _*).as[EncodedBlock](Encoders.product[EncodedBlock])
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+/** Core data model of the engine.
+  *
+  * The input table shape is fixed by BASELINE.json `input_hint`:
+  * (doc_id:string, tokens:array<int32>, n_tok:int32, source:string).
+  * This mirrors the reference's universal value type `BinaryInputOutput`
+  * (/root/reference/src/EncodeTools.ts:316) re-imagined columnar: instead of
+  * one buffer per call, a typed Dataset row per document.
+  */
+final case class TokenRow(
+    doc_id: String,
+    tokens: Array[Int],
+    n_tok: Int,
+    source: String
+)
+
+/** One encoded block = the engine's unit of compression. A block packs the
+  * token arrays of many consecutive (doc_id-sorted) rows of one Spark
+  * partition into a single columnar payload, the analog of one
+  * `encodeObject` call in the reference pipeline
+  * (/root/reference/src/EncodeTools.ts:1506-1516) — serialize → encode →
+  * checksum, fused.
+  *
+  * Row-reconstruction metadata (doc_ids, per-row token counts, sources) is
+  * kept in real columns, not inside the payload, so Parquet
+  * dictionary/RLE-encodes it and decode never parses bytes to find rows.
+  */
+final case class EncodedBlock(
+    part_id: Int,
+    block_id: Long,
+    codec: String,
+    outer: String, // "zstd" | "none" — entropy frame around the codec bytes
+    n_docs: Int,
+    n_tokens: Long,
+    raw_bytes: Long, // canonical LE int32 size of the block's tokens
+    encoded_bytes: Long, // final payload size
+    first_doc_id: String,
+    last_doc_id: String,
+    doc_ids: Array[String],
+    n_toks: Array[Int],
+    sources: Array[String],
+    payload: Array[Byte],
+    checksum: Long, // XXH64(seed=42) over the canonical block bytes
+    enc_micros: Long
+)
+
+/** Engine options — the analog of `ConfiguredEncodingOptions` +
+  * `DEFAULT_ENCODE_TOOLS_OPTIONS` (/root/reference/src/EncodeTools.ts:282-293,
+  * 328-337): resolved once on the driver, broadcast into tasks by closure
+  * capture (it is a small immutable product).
+  *
+  * @param codecPolicy  "auto" (cost model) or a forced codec name
+  * @param zstdLevel    outer entropy-frame level; <=0 disables the frame
+  * @param blockTokens  target tokens per block (bounded memory per task)
+  * @param numParts     target partition count for range partitioning
+  * @param sampleMod    partition planner samples doc_ids where
+  *                     xxhash64(doc_id) % sampleMod == 0 (deterministic)
+  */
+final case class EncodeOptions(
+    codecPolicy: String = "auto",
+    zstdLevel: Int = 3,
+    blockTokens: Int = 1 << 17,
+    numParts: Int = 32,
+    sampleMod: Int = 1
+) extends Serializable
+
+object EncodeOptions {
+  val default: EncodeOptions = EncodeOptions()
+}
+
+/** One-pass per-block statistics feeding the cost model (§4 of SURVEY.md) —
+  * the engine's analog of the reference's capability-based backend selection
+  * (`EncodeToolsAuto`, /root/reference/README.md:147-158), except selection
+  * here is data-driven per block rather than environment-driven per process.
+  */
+final case class BlockStats(
+    n: Int,
+    min: Int,
+    max: Int,
+    runs: Int, // number of value runs (RLE cue)
+    distinct: Int, // exact up to distinctCap, else distinctCap+1
+    distinctExact: Boolean,
+    pairGain: Int // est. tokens removable by one round of pair-merging
+)
+
+final class InvalidCodecException(msg: String)
+    extends IllegalArgumentException(msg)

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+
+/** Deterministic range-partition plan over doc_id with per-bucket salting
+  * for skew.
+  *
+  * Spark's own `repartitionByRange` samples nondeterministically, which
+  * would break resume (part ids must be stable across runs — the analog of
+  * the reference's determinism discipline, where the only nondeterminism is
+  * confined to id minting, /root/reference/src/EncodeTools.ts:529-541). We
+  * instead compute explicit boundary strings once from a deterministic
+  * hash-selected sample weighted by n_tok, persist them in the snapshot
+  * manifest, and route rows by binary search.
+  *
+  * Bucket b covers doc_ids in (boundaries(b-1), boundaries(b)]; bucket 0 is
+  * (-inf, boundaries(0)], the last bucket (boundaries(B-2), +inf). A bucket
+  * whose sampled token weight exceeds 2x the target is salted: split into k
+  * sub-parts by xxhash64(doc_id) — this handles ranges that quantiles cannot
+  * split (duplicate or highly-concentrated keys).
+  */
+final case class PartitionPlan(
+    boundaries: Array[String],
+    saltOf: Array[Int],
+    partOffset: Array[Int],
+    numParts: Int
+) extends Serializable {
+
+  def numBuckets: Int = saltOf.length
+
+  def bucketOf(docId: String): Int = {
+    // first index with boundaries(i) >= docId; bucket = that index
+    var lo = 0
+    var hi = boundaries.length // bucket index range [0, B-1], B = len+1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (boundaries(mid) < docId) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  def partIdOf(docId: String): Int = {
+    val b = bucketOf(docId)
+    val k = saltOf(b)
+    if (k <= 1) partOffset(b)
+    else {
+      val h = Checksum.xxh64(docId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      partOffset(b) + (((h % k) + k) % k).toInt
+    }
+  }
+}
+
+object Planner {
+
+  /** Build a plan from a deterministic sample of (doc_id, n_tok).
+    * sampleMod=1 uses every row (exact); larger values hash-sample
+    * 1/sampleMod of rows — at 10^12-sequence scale set sampleMod ~ 10^4 so
+    * the driver-side sort stays O(10^8) keys max and the collected sample is
+    * bounded; boundaries remain statistically near-exact because weights
+    * are token counts, not row counts.
+    */
+  def plan(ds: Dataset[TokenRow], opts: EncodeOptions): PartitionPlan = {
+    val sampled =
+      if (opts.sampleMod <= 1) ds.select(col("doc_id"), col("n_tok"))
+      else
+        ds.select(col("doc_id"), col("n_tok"))
+          .where(pmod(xxhash64(col("doc_id")), lit(opts.sampleMod)) === 0)
+    val rows = sampled
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong))
+    fromSample(rows, opts.numParts)
+  }
+
+  /** Pure, deterministic plan construction from a doc_id-sorted weighted
+    * sample. Exposed for tests.
+    */
+  def fromSample(sorted: Array[(String, Long)], targetParts: Int): PartitionPlan = {
+    if (sorted.isEmpty)
+      return PartitionPlan(Array.empty, Array(1), Array(0), 1)
+    val total = math.max(sorted.map(_._2 + 1).sum, 1L) // +1: weight empty docs
+    val perPart = math.max(total / math.max(targetParts, 1), 1L)
+
+    // walk the sorted sample accumulating weight; cut a boundary when the
+    // running bucket reaches perPart, never splitting a doc_id
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val weights = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var acc = 0L
+    var i = 0
+    while (i < sorted.length) {
+      val (id, w) = sorted(i)
+      acc += w + 1
+      val isLast = i == sorted.length - 1
+      val nextDiffers = isLast || sorted(i + 1)._1 != id
+      if (acc >= perPart && nextDiffers && !isLast && bounds.length < targetParts - 1) {
+        bounds += id
+        weights += acc
+        acc = 0L
+      }
+      i += 1
+    }
+    weights += acc // last bucket
+
+    // salt buckets that remain oversized (range-unsplittable concentration)
+    val saltOf = weights.map { w =>
+      if (w > 2 * perPart) math.min((w + perPart - 1) / perPart, 64L).toInt
+      else 1
+    }.toArray
+    val partOffset = new Array[Int](saltOf.length)
+    var off = 0
+    var b = 0
+    while (b < saltOf.length) {
+      partOffset(b) = off
+      off += saltOf(b)
+      b += 1
+    }
+    PartitionPlan(bounds.toArray, saltOf, partOffset, off)
+  }
+}

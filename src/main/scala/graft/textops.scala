@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators for large-scale training-data
+  * pipelines, built Spark-first: scalar features stay in codegen'd built-in
+  * expressions; signature computation (minhash/simhash) is one narrow
+  * mapPartitions pass per doc; candidate generation goes through a single
+  * band-bucket shuffle (groupBy band key) instead of any pairwise join, so
+  * cost is O(n·bands) not O(n²) — the property that survives 100 TB.
+  */
+object TextOps {
+
+  // ---------------- scalar text features (all codegen built-ins) ----------
+
+  /** Whitespace token count, expressible identically in DuckDB. */
+  def tokenCountCol(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Quality features: length, word stats, punctuation/digit/upper ratios. */
+  def quality(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val n = length(text).cast("double")
+    val words = tokenCountCol(text)
+    df.select(
+      col("doc_id"),
+      length(text).as("n_chars"),
+      words.as("n_words"),
+      (n / greatest(words.cast("double"), lit(1.0))).as("chars_per_word"),
+      ((n - length(regexp_replace(text, "[.,;:!?]", ""))) /
+        greatest(n, lit(1.0))).as("punct_ratio"),
+      ((n - length(regexp_replace(text, "[0-9]", ""))) /
+        greatest(n, lit(1.0))).as("digit_ratio"),
+      ((n - length(regexp_replace(text, "[A-Z]", ""))) /
+        greatest(n, lit(1.0))).as("upper_ratio")
+    )
+  }
+
+  /** N-gram-heuristic language id: per-language stopword occurrence scores,
+    * argmax with deterministic tie-break (first in list). Pure built-in
+    * expressions, so the exact same formula runs in DuckDB as the oracle.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " to "),
+    "de" -> Seq(" der ", " und ", " die ", " nicht "),
+    "fr" -> Seq(" le ", " et ", " les ", " des "),
+    "es" -> Seq(" el ", " que ", " los ", " una ")
+  )
+
+  def langScore(text: Column, words: Seq[String]): Column =
+    words.map { w =>
+      (length(text) - length(replace(text, lit(w), lit("")))) / lit(w.length)
+    }.reduce(_ + _)
+
+  def langId(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val scored = langStopwords.foldLeft(df.select(col("doc_id"), text.as("t"))) {
+      case (d, (lang, words)) =>
+        d.withColumn(s"score_$lang",
+          langScore(concat(lit(" "), lower(col("t")), lit(" ")), words))
+    }
+    // argmax via chained CASE (deterministic: earlier language wins ties)
+    val ordered = langStopwords.map(_._1)
+    def argmax(rest: List[String], acc: Column): Column = rest match {
+      case Nil => acc
+      case l :: t =>
+        argmax(t, when(
+          ordered.filter(_ != l).map(o => col(s"score_$l") >= col(s"score_$o"))
+            .reduce(_ && _) && col(s"score_$l") > 0, lit(l)).otherwise(acc))
+    }
+    val cols = Seq(
+      col("doc_id"),
+      argmax(ordered.reverse.toList, lit("und")).as("lang_pred")
+    ) ++ ordered.map(l => col(s"score_$l").cast("int").as(s"score_$l"))
+    scored.select(cols: _*)
+  }
+
+  /** Rolling-hash document fingerprinting (winnowing, Schleimer et al.):
+    * polynomial rolling hash over char k-grams, keep the minimum in each
+    * window — a compact, alignment-robust fingerprint set per doc.
+    */
+  def fingerprints(text: String, k: Int = 9, window: Int = 16): Array[Long] = {
+    if (text == null || text.length < k) return Array.empty
+    val n = text.length - k + 1
+    val hashes = new Array[Long](n)
+    val B = 1000000007L
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    while (i < k) { h = h * B + text(i); if (i < k - 1) pow *= B; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - text(i - 1) * pow) * B + text(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    i = 0
+    val w = math.min(window, n)
+    while (i + w <= n) {
+      var mn = Long.MaxValue
+      var j = i
+      while (j < i + w) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
+      out += mn
+      i += w / 2 + 1
+    }
+    if (out.isEmpty) out += hashes.min
+    out.toArray
+  }
+
+  // ---------------- deduplication ----------------
+
+  /** Exact dedup: hash-groupBy on md5(text). Map-side partial aggregation;
+    * one shuffle on the 128-bit digest (uniform → no skew).
+    */
+  def exactDupGroups(df: DataFrame): DataFrame =
+    df.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_doc_id"))
+      .where(col("cnt") > 1)
+
+  /** Word shingles of size s, hashed to 64-bit. */
+  def shingleHashes(text: String, s: Int = 3): Array[Long] = {
+    val words = if (text == null) Array.empty[String]
+                else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (words.length < s) {
+      if (words.isEmpty) Array.empty
+      else Array(Checksum.xxh64(words.mkString(" ").getBytes(UTF8)))
+    } else {
+      val out = new Array[Long](words.length - s + 1)
+      var i = 0
+      while (i + s <= words.length) {
+        out(i) = Checksum.xxh64(words.slice(i, i + s).mkString(" ").getBytes(UTF8))
+        i += 1
+      }
+      out.distinct
+    }
+  }
+  private val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** MinHash signature: k permutations h_i(x) = a_i*x + b_i (odd a, seeded
+    * splitmix), min over the doc's shingle hashes. Deterministic.
+    */
+  def minhashSignature(shingles: Array[Long], k: Int = 64, seed: Long = 42L): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (shingles.isEmpty) return sig
+    val rng = new Fixtures.Rng(seed)
+    var i = 0
+    while (i < k) {
+      val a = rng.nextLong() | 1L
+      val b = rng.nextLong()
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < shingles.length) {
+        val h = a * shingles(j) + b
+        if (h < mn) mn = h
+        j += 1
+      }
+      sig(i) = mn
+      i += 1
+    }
+    sig
+  }
+
+  /** MinHash+LSH near-dup candidate pairs: signatures per doc (narrow), then
+    * explode into `bands` bucket keys and groupBy the bucket — the only
+    * shuffle. Returns (doc_a, doc_b, est_jaccard) for pairs sharing >=1 band,
+    * est_jaccard = fraction of matching signature components.
+    */
+  def minhashDupPairs(
+      df: DataFrame,
+      k: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.7,
+      maxBucket: Int = 64
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowsPerBand = k / bands
+    val sigs = df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, minhashSignature(shingleHashes(text), k))
+      })
+      .toDF("doc_id", "sig")
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band")
+    ).withColumn("bucket",
+      xxhash64(col("band"),
+        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .where(size(col("members")).between(2, maxBucket))
+    val pairs = buckets.select(explode(expr(
+      """filter(
+        |  flatten(transform(members, (m, i) ->
+        |    transform(slice(members, i + 2, size(members)), n ->
+        |      struct(least(m.doc_id, n.doc_id) as doc_a,
+        |             greatest(m.doc_id, n.doc_id) as doc_b,
+        |             cast(size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), b -> b)) as double)
+        |               / size(m.sig) as est_jaccard)))),
+        |  p -> p.est_jaccard >= 0)""".stripMargin)).as("p"))
+      .select("p.doc_a", "p.doc_b", "p.est_jaccard")
+      .where(col("est_jaccard") >= minJaccard)
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+  }
+
+  /** 64-bit SimHash over word unigram hashes. */
+  def simhash(text: String): Long = {
+    val words = if (text == null) Array.empty[String]
+                else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val acc = new Array[Int](64)
+    words.foreach { w =>
+      val h = Checksum.xxh64(w.getBytes(UTF8))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs: block on 4 x 16-bit segments (two docs within
+    * hamming distance 3 must share at least one of 4 segments), verify
+    * hamming distance inside buckets. One shuffle on segment keys.
+    */
+  def simhashDupPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhash(t)) })
+      .toDF("doc_id", "sim")
+    val seg = sigs.select(col("doc_id"), col("sim"),
+      explode(sequence(lit(0), lit(3))).as("s"))
+      .withColumn("key", concat_ws(":", col("s"),
+        expr("(sim >> (s * 16)) & 65535")))
+    seg.groupBy("key")
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
+      .where(size(col("members")) > 1)
+      .select(explode(expr(
+        """flatten(transform(members, (m, i) ->
+          |  transform(slice(members, i + 2, size(members)), n ->
+          |    struct(least(m.doc_id, n.doc_id) as doc_a,
+          |           greatest(m.doc_id, n.doc_id) as doc_b,
+          |           bit_count(m.sim ^ n.sim) as hamming))))""".stripMargin)).as("p"))
+      .select("p.doc_a", "p.doc_b", "p.hamming")
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Exact character-n-gram Jaccard similarity for a set of candidate
+    * pairs (verification stage after LSH blocking).
+    */
+  def ngramJaccard(a: String, b: String, n: Int = 5): Double = {
+    def grams(s: String): Set[Long] =
+      if (s == null || s.length < n) Set.empty
+      else (0 to s.length - n).map(i =>
+        Checksum.xxh64(s.substring(i, i + n).getBytes(UTF8))).toSet
+    val ga = grams(a); val gb = grams(b)
+    if (ga.isEmpty && gb.isEmpty) 1.0
+    else if (ga.isEmpty || gb.isEmpty) 0.0
+    else ga.intersect(gb).size.toDouble / ga.union(gb).size
+  }
+}

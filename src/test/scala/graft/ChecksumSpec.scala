@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Validates the engine's XXH64 against Spark's built-in `xxhash64`
+  * expression (seed 42) — the analog of the reference checking every hash
+  * against hash-wasm directly
+  * (/root/reference/src/test/src/EncodeTools.ts:519-543).
+  */
+class ChecksumSpec extends AnyFunSuite {
+  private val rnd = new scala.util.Random(42)
+
+  test("XXH64 matches Spark's xxhash64 expression on binary input") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val samples: Seq[Array[Byte]] =
+      Seq(Array.emptyByteArray, Array[Byte](1), "hello world".getBytes) ++
+        (1 to 50).map(_ => Array.fill(rnd.nextInt(200))(rnd.nextInt().toByte))
+    val df = samples.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "b")
+    val got = df.select($"i", xxhash64($"b").as("h")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    samples.zipWithIndex.foreach { case (b, i) =>
+      assert(Checksum.xxh64(b) == got(i), s"sample $i len ${b.length}")
+    }
+  }
+
+  test("known vectors (XXH64 spec, seed 0)") {
+    // standard sanity vector: xxh64("" , seed=0) = 0xEF46DB3751D8E999
+    assert(Checksum.xxh64(Array.emptyByteArray, 0L) == 0xEF46DB3751D8E999L)
+  }
+
+  test("canonical block bytes layout") {
+    val b = Checksum.canonicalBlockBytes(Seq(Array(1, 2), Array.empty[Int], Array(3)))
+    // [2][1][2] [0] [1][3] as LE int32
+    assert(b.length == 4 * 6)
+    assert(Bits.readIntLE(b, 0) == 2)
+    assert(Bits.readIntLE(b, 4) == 1)
+    assert(Bits.readIntLE(b, 8) == 2)
+    assert(Bits.readIntLE(b, 12) == 0)
+    assert(Bits.readIntLE(b, 16) == 1)
+    assert(Bits.readIntLE(b, 20) == 3)
+  }
+
+  test("block checksum is partition/retry independent (pure function of rows)") {
+    val rows = Fixtures.localRows(50).map(_.tokens)
+    val a = Checksum.blockChecksum(rows)
+    val b = Checksum.blockChecksum(rows.map(_.clone()))
+    assert(a == b)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's round-trip law (`testEncode`/`testDecode`,
+  * /root/reference/src/test/common/EncodeToolsRunner.ts:103-129) for every
+  * codec in the registry over every fixture shape + adversarial edges:
+  * decode(encode(x), x.length) must equal x bit-identically.
+  */
+class CodecSpec extends AnyFunSuite {
+  private val rnd = new scala.util.Random(42)
+
+  private def shapes: Seq[(String, Array[Int])] = {
+    val fixtureBlocks = Fixtures.Sources.map { src =>
+      // concatenate tokens of fixture docs of this source into one block
+      val rows = Fixtures.localRows(600).filter(_.source == src)
+      src -> rows.flatMap(_.tokens)
+    }.toSeq
+    val edges = Seq(
+      "empty" -> Array.empty[Int],
+      "single" -> Array(12345),
+      "all_same" -> Array.fill(5000)(777),
+      "two_values" -> Array.tabulate(4096)(i => if (i % 2 == 0) 3 else 50256),
+      "outlier" -> (Array.fill(2000)(5) :+ Int.MaxValue),
+      "negatives" -> Array.fill(1000)(rnd.nextInt()), // full Int range
+      "boundaries" -> Array(0, 50256, 0, 0, 50256, 1, 2, 3),
+      "ramp" -> Array.tabulate(10000)(identity),
+      "random_small" -> Array.fill(3000)(rnd.nextInt(256))
+    )
+    fixtureBlocks ++ edges
+  }
+
+  for (codec <- CodecRegistry.all; (shapeName, data) <- shapes) {
+    val canEncode = codec match {
+      case BitPackCodec => data.forall(_ >= 0)
+      case FsstCodec => data.forall(v => v >= 0 && v < FsstCodec.SymbolBase)
+      case DictCodec => true // MaxDict is large enough for all shapes here
+      case _ => true
+    }
+    if (canEncode) {
+      test(s"${codec.name} round-trips '$shapeName' (${data.length} tokens)") {
+        val enc = codec.encode(data)
+        val dec = codec.decode(enc, data.length)
+        assert(dec.sameElements(data))
+      }
+    }
+  }
+
+  test("estimates are sane upper-ballpark vs actual for fixture shapes") {
+    for ((name, data) <- shapes if data.length > 100) {
+      val st = Analyzer.stats(data)
+      for (codec <- CodecRegistry.all if codec.applicable(st) && codec != FsstCodec) {
+        val est = codec.estimate(st)
+        val actual = codec.encode(data).length
+        // estimate must be within 4x either way (it drives selection only)
+        assert(est <= actual.toLong * 4 + 64, s"$name/${codec.name} est $est vs $actual")
+        assert(actual <= est * 4 + 64, s"$name/${codec.name} actual $actual vs est $est")
+      }
+    }
+  }
+
+  test("registry dispatch is closed-world (InvalidCodecException)") {
+    intercept[InvalidCodecException](CodecRegistry.byName("nope"))
+    intercept[InvalidCodecException](CodecRegistry.byId(99))
+    assert(CodecRegistry.byName("rle") eq RleCodec)
+    assert(CodecRegistry.byId(5) eq FsstCodec)
+  }
+
+  test("registry name/id maps are mutually inverse (MIME-map invariant analog)") {
+    // analog of the reference's map-inversion tests
+    // (/root/reference/src/test/src/EncodeTools.ts:62-90)
+    CodecRegistry.all.foreach { c =>
+      assert(CodecRegistry.byId(c.id).name == c.name)
+      assert(CodecRegistry.byName(c.name).id == c.id)
+    }
+    assert(CodecRegistry.all.map(_.id).distinct.size == CodecRegistry.all.size)
+    assert(CodecRegistry.all.map(_.name).distinct.size == CodecRegistry.all.size)
+  }
+
+  test("fsst compresses repeat_pairs fixture significantly") {
+    val data = Fixtures.localRows(800).filter(_.source == "repeat_pairs")
+      .flatMap(_.tokens)
+    assert(data.length > 10000)
+    val enc = FsstCodec.encode(data)
+    assert(enc.length < data.length * 4 / 2, // at least 2x vs plain
+      s"fsst ${enc.length} bytes vs plain ${data.length * 4}")
+  }
+
+  test("rle compresses const_runs fixture significantly") {
+    val data = Fixtures.localRows(800).filter(_.source == "const_runs")
+      .flatMap(_.tokens)
+    val enc = RleCodec.encode(data)
+    assert(enc.length < data.length * 4 / 8)
+  }
+}

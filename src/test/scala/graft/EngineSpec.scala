@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** End-to-end: encode the deterministic fixture table, decode, and require
+  * bit-identical token arrays for 100% of rows (the north_rule invariant),
+  * plus compressed-size <= zstd(canonical plain bytes) (the reference
+  * comparator — its own compression backends are zstd/lzma,
+  * /root/reference/src/EncodeTools.ts:1600-1661).
+  */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val NDocs = 3000L
+
+  test("encode -> decode round-trips the fixture table bit-identically") {
+    import spark.implicits._
+    val input = Fixtures.tokenTable(spark, NDocs)
+    val comp = TokenCompressor(EncodeOptions(numParts = 8))
+    val blocks = comp.encode(input).cache()
+    val nBlocks = blocks.count()
+    assert(nBlocks > 0)
+
+    val decoded = comp.decode(blocks)
+    // join on doc_id and compare token arrays + source exactly
+    val joined = decoded.as("d")
+      .joinWith(input.as("i"), $"d.doc_id" === $"i.doc_id", "full_outer")
+    val bad = joined.filter { case (d, i) =>
+      d == null || i == null || d.n_tok != i.n_tok ||
+        d.source != i.source || !d.tokens.sameElements(i.tokens)
+    }.count()
+    assert(bad == 0, s"$bad mismatching rows")
+    assert(decoded.count() == NDocs)
+    blocks.unpersist()
+  }
+
+  test("compressed size beats the zstd-of-plain-bytes comparator") {
+    import spark.implicits._
+    val input = Fixtures.tokenTable(spark, NDocs)
+    val comp = TokenCompressor(EncodeOptions(numParts = 8))
+    val blocks = comp.encode(input).cache()
+    val encoded = blocks.agg(sum($"encoded_bytes")).as[Long].head()
+    // comparator: zstd(default level 3, the reference's compressionLevel
+    // semantics) over the same canonical bytes, block-aligned like ours
+    val comparator = blocks.map { b =>
+      // recompute canonical bytes from the decoded block (payload-independent)
+      val rows = BlockEncoder.decodeBlock(b, verify = false).toArray
+      val canon = Checksum.canonicalBlockBytes(rows.map(_.tokens))
+      com.github.luben.zstd.Zstd.compress(canon, 3).length.toLong
+    }.reduce(_ + _)
+    info(s"engine=$encoded bytes, zstd(plain)=$comparator bytes, " +
+      f"ratio=${comparator.toDouble / encoded}%.2fx")
+    assert(encoded <= comparator, s"engine $encoded > comparator $comparator")
+    blocks.unpersist()
+  }
+
+  test("decode verifies checksums (corruption is detected)") {
+    import spark.implicits._
+    val input = Fixtures.tokenTable(spark, 100L)
+    val comp = TokenCompressor(EncodeOptions(numParts = 2))
+    val blocks = comp.encode(input).collect()
+    val b = blocks.find(_.n_tokens > 0).get
+    val corrupted = b.copy(checksum = b.checksum ^ 1L)
+    val e = intercept[Exception] {
+      BlockEncoder.decodeBlock(corrupted, verify = true).toArray
+    }
+    assert(e.getMessage.contains("checksum mismatch"))
+  }
+
+  test("every codec appears on the mixed fixture (per-block independence)") {
+    import spark.implicits._
+    val input = Fixtures.tokenTable(spark, NDocs)
+    // small blocks so each lands inside one source cluster
+    val comp = TokenCompressor(EncodeOptions(numParts = 8, blockTokens = 1 << 14))
+    val used = comp.encode(input).select("codec").distinct()
+      .as[String].collect().toSet
+    info(s"codecs used: $used")
+    assert(used.size >= 3, s"expected >=3 distinct codecs, got $used")
+  }
+
+  test("blocks respect the token budget and doc ordering") {
+    import spark.implicits._
+    val input = Fixtures.tokenTable(spark, 1000L)
+    val optsB = EncodeOptions(numParts = 4, blockTokens = 1 << 14)
+    val blocks = TokenCompressor(optsB).encode(input).collect()
+    blocks.foreach { b =>
+      assert(b.n_docs == b.doc_ids.length && b.n_docs == b.n_toks.length)
+      assert(b.n_tokens == b.n_toks.map(_.toLong).sum)
+      // budget: a block exceeds blockTokens only if a single doc does
+      assert(b.n_tokens <= optsB.blockTokens || b.n_docs == 1)
+      assert(b.doc_ids.toSeq == b.doc_ids.toSeq.sorted, "doc order in block")
+      assert(b.first_doc_id == b.doc_ids.head && b.last_doc_id == b.doc_ids.last)
+    }
+    // all docs exactly once across blocks
+    val all = blocks.flatMap(_.doc_ids)
+    assert(all.length == 1000 && all.distinct.length == 1000)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Resumability (north_rule): an interrupted run continues from the last
+  * committed snapshot, re-encoding only uncommitted partitions, and the
+  * final table is identical to an uninterrupted run.
+  */
+class ResumeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("batched runs resume from last snapshot and converge to identical table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_resume").toString
+    val opts = EncodeOptions(numParts = 12)
+    val input = Fixtures.tokenTable(spark, 1200L)
+
+    // interrupted run: 5 parts per invocation
+    val s1 = ResumableEncodeJob.run(input, s"$dir/t1", opts, maxPartsPerRun = 5)
+    assert(s1.committed.size == 5 && s1.version == 1)
+    val s2 = ResumableEncodeJob.run(input, s"$dir/t1", opts, maxPartsPerRun = 5)
+    assert(s2.committed.size == 10 && s2.version == 2)
+    // only 5 new parts were encoded in run 2
+    assert((s2.committed -- s1.committed).size == 5)
+    assert(s2.lineage.keySet.intersect(s1.committed) == s1.committed,
+      "run 2 must keep run 1 lineage untouched")
+    s1.committed.foreach { p =>
+      assert(s2.lineage(p) == s1.lineage(p), s"lineage of committed part $p changed")
+    }
+    val s3 = ResumableEncodeJob.run(input, s"$dir/t1", opts)
+    assert(s3.committed.size == s3.plan.numParts)
+    // idempotent once complete
+    val s4 = ResumableEncodeJob.run(input, s"$dir/t1", opts)
+    assert(s4.version == s3.version)
+
+    // uninterrupted run for comparison
+    val u = ResumableEncodeJob.run(input, s"$dir/t2", opts)
+    assert(u.committed == s3.committed)
+
+    // decoded tables identical to the input (and hence to each other)
+    val comp = TokenCompressor(opts)
+    for (t <- Seq("t1", "t2")) {
+      val blocks = ResumableEncodeJob.readBlocks(spark, s"$dir/$t")
+      val dec = comp.decode(blocks)
+      val joined = dec.as("d").joinWith(input.as("i"), $"d.doc_id" === $"i.doc_id", "full_outer")
+      val bad = joined.filter { case (d, i) =>
+        d == null || i == null || !d.tokens.sameElements(i.tokens)
+      }.count()
+      assert(bad == 0, s"$t: $bad mismatching rows")
+      assert(dec.count() == 1200L)
+    }
+
+    // determinism: same parts encode to the same per-part checksum_xor
+    s3.lineage.foreach { case (pid, l) =>
+      assert(u.lineage(pid).checksum_xor == l.checksum_xor, s"part $pid differs")
+      assert(u.lineage(pid).n_tokens == l.n_tokens)
+    }
+  }
+
+  test("stale uncommitted files are cleaned before re-encode") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stale").toString
+    val opts = EncodeOptions(numParts = 4)
+    val input = Fixtures.tokenTable(spark, 200L)
+    val s1 = ResumableEncodeJob.run(input, s"$dir/t", opts, maxPartsPerRun = 2)
+    // simulate a crashed job that left files for an uncommitted part
+    val pending = (0 until s1.plan.numParts).filterNot(s1.committed).head
+    val staleDir = new java.io.File(s"$dir/t/data/part_id=$pending")
+    staleDir.mkdirs()
+    val stale = new java.io.File(staleDir, "part-stale.parquet")
+    // a valid-but-stale parquet: copy one from a committed part
+    val committedDir = new java.io.File(s"$dir/t/data/part_id=${s1.committed.head}")
+    val src = committedDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.copy(src.toPath, stale.toPath)
+
+    val s2 = ResumableEncodeJob.run(input, s"$dir/t", opts)
+    assert(s2.committed.size == s2.plan.numParts)
+    val dec = TokenCompressor(opts).decode(ResumableEncodeJob.readBlocks(spark, s"$dir/t"))
+    assert(dec.count() == 200L, "stale file must not produce duplicate rows")
+  }
+}
