@@ -116,6 +116,15 @@ object SparkEntry {
     "h_xxhash64" -> ((s, dir) => docs(s, dir)
       .select(col("doc_id"), xxhash64(col("text")).as("h"))
       .orderBy("doc_id")),
+    "h_xxhash32" -> ((s, dir) => {
+      val u = udf((t: String) => Checksum.xxh32(t.getBytes("UTF-8")))
+      docs(s, dir).select(col("doc_id"), u(col("text")).as("h")).orderBy("doc_id")
+    }),
+    "h_sha3" -> ((s, dir) => {
+      val u = udf((t: String) => Encodings.hex(
+        java.security.MessageDigest.getInstance("SHA3-512").digest(t.getBytes("UTF-8"))))
+      docs(s, dir).select(col("doc_id"), u(col("text")).as("h")).orderBy("doc_id")
+    }),
     "h_hashobject" -> ((s, dir) => {
       // canonicalize-then-digest (reference hashObject semantics): canonical
       // LE layout of the token array, then XXH64 — cross-validated against
@@ -262,6 +271,33 @@ object SparkEntry {
           round(j(col("text_a"), col("text_b")), 4).as("jaccard"))
         .where(col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // --- multimodal media pipeline (stubbed decode, real plumbing) ---
+    "mm_metadata" -> ((s, dir) => {
+      val media = docs(s, dir).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      MediaOps.withMetadata(media, col("payload"), lit("png"))
+        .select(col("doc_id"), col("meta.width"), col("meta.height"),
+          col("meta.format"), col("meta.n_bytes"))
+        .orderBy("doc_id")
+    }),
+    "mm_pipeline" -> ((s, dir) => {
+      val media = MediaOps.withMetadata(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+        col("payload"), lit("jpeg"))
+      val out = MediaOps.extractFeatures(
+        MediaOps.sampleFrames(
+          MediaOps.convert(
+            MediaOps.adjustBrightness(
+              MediaOps.crop(MediaOps.resize(media, 256, 256), 10, 10, 128, 128),
+              0.25),
+            "webp"),
+          4))
+      out.select(col("doc_id"), col("meta.width"), col("meta.height"),
+        col("meta.format"), col("n_frames"),
+        round(element_at(col("embedding"), 1), 4).as("f0"))
+        .orderBy("doc_id")
     }),
 
     // --- similarity search ---

@@ -22,7 +22,7 @@ object Analyzer {
     var runs = 1
     var i = 0
     var prev = tokens(0)
-    val seen = new java.util.HashSet[Integer](math.min(n, 1 << 12))
+    val seen = new IntSet(math.min(n, 1 << 12))
     var distinctExact = true
     while (i < n) {
       val v = tokens(i)
@@ -42,21 +42,21 @@ object Analyzer {
     val sampleN = math.min(n, PairSampleCap)
     var pairGain = 0
     if (sampleN >= 8 && mn >= 0 && mx < FsstCodec.SymbolBase) {
-      val freq = new java.util.HashMap[Long, Int](1 << 12)
+      val freq = new LongIntMap(1 << 12)
       i = 0
       while (i + 1 < sampleN) {
         val key = (tokens(i).toLong << 32) | (tokens(i + 1).toLong & 0xffffffffL)
-        freq.merge(key, 1, (a: Int, b: Int) => a + b)
+        freq.increment(key)
         i += 2 // stride 2: non-overlapping estimate, halves the cost
       }
-      val entries = new java.util.ArrayList[java.util.Map.Entry[Long, Int]](freq.entrySet())
-      entries.sort((a, b) => Integer.compare(b.getValue, a.getValue))
-      var k = 0
+      val (_, counts) = freq.entries
+      java.util.Arrays.sort(counts)
+      var k = counts.length - 1
       var gain = 0L
-      while (k < FsstCodec.PairsPerRound && k < entries.size()) {
-        val c = entries.get(k).getValue
-        if (c >= 2) gain += c
-        k += 1
+      val stop = math.max(0, counts.length - FsstCodec.PairsPerRound)
+      while (k >= stop) {
+        if (counts(k) >= 2) gain += counts(k)
+        k -= 1
       }
       // stride-2 counting saw n/2 positions; scale to full block
       pairGain = math.min((gain * 2L * n / sampleN), n / 2L).toInt

@@ -93,6 +93,55 @@ object Checksum {
     h
   }
 
+  // XXH32 (reference HashAlgorithm.xxhash32, EncodeTools.ts:896-898) —
+  // standard spec, for parity with the reference's 32-bit digest family.
+  private final val Q1 = -1640531535 // 0x9E3779B1
+  private final val Q2 = -2048144777 // 0x85EBCA77
+  private final val Q3 = -1028477379 // 0xC2B2AE3D
+  private final val Q4 = 668265263 // 0x27D4EB2F
+  private final val Q5 = 374761393 // 0x165667B1
+
+  def xxh32(data: Array[Byte], seed: Int = 0): Int = {
+    val len = data.length
+    var i = 0
+    var h = 0
+    if (len >= 16) {
+      var v1 = seed + Q1 + Q2
+      var v2 = seed + Q2
+      var v3 = seed
+      var v4 = seed - Q1
+      val limit = len - 16
+      while (i <= limit) {
+        v1 = Integer.rotateLeft(v1 + readIntLE(data, i) * Q2, 13) * Q1
+        v2 = Integer.rotateLeft(v2 + readIntLE(data, i + 4) * Q2, 13) * Q1
+        v3 = Integer.rotateLeft(v3 + readIntLE(data, i + 8) * Q2, 13) * Q1
+        v4 = Integer.rotateLeft(v4 + readIntLE(data, i + 12) * Q2, 13) * Q1
+        i += 16
+      }
+      h = Integer.rotateLeft(v1, 1) + Integer.rotateLeft(v2, 7) +
+        Integer.rotateLeft(v3, 12) + Integer.rotateLeft(v4, 18)
+    } else {
+      h = seed + Q5
+    }
+    h += len
+    while (i + 4 <= len) {
+      h += readIntLE(data, i) * Q3
+      h = Integer.rotateLeft(h, 17) * Q4
+      i += 4
+    }
+    while (i < len) {
+      h += (data(i) & 0xff) * Q5
+      h = Integer.rotateLeft(h, 11) * Q1
+      i += 1
+    }
+    h ^= h >>> 15
+    h *= Q2
+    h ^= h >>> 13
+    h *= Q3
+    h ^= h >>> 16
+    h
+  }
+
   /** Canonical bytes of one row: [n_tok int32 LE][tokens int32 LE ...]. */
   def canonicalRowSize(nTok: Int): Int = 4 + 4 * nTok
 

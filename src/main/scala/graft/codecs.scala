@@ -257,35 +257,39 @@ object FsstCodec extends TokenCodec {
     var round = 0
     var continue = stream.length >= 8
     while (round < MaxRounds && continue) {
-      // count bigram frequencies
-      val freq = new java.util.HashMap[Long, Int](1 << 12)
+      // count bigram frequencies (primitive map, no boxing)
+      val freq = new LongIntMap(1 << 12)
       var i = 0
       while (i + 1 < stream.length) {
         val key = (stream(i).toLong << 32) | (stream(i + 1).toLong & 0xffffffffL)
-        freq.merge(key, 1, (a: Int, b: Int) => a + b)
+        freq.increment(key)
         i += 1
       }
       // pick top pairs deterministically: by freq desc, then key asc
-      val entries = new java.util.ArrayList[java.util.Map.Entry[Long, Int]](freq.entrySet())
-      entries.sort { (a, b) =>
-        val c = Integer.compare(b.getValue, a.getValue)
-        if (c != 0) c else java.lang.Long.compare(a.getKey, b.getKey)
-      }
-      val picked = new java.util.HashMap[Long, Int]()
+      val (ks, vs) = freq.entries
+      val order = Array.tabulate(ks.length)(identity)
+      // sort indices by (count desc, key asc) via boxed sort of an index
+      // array only (entry count is small relative to the stream)
+      val orderBoxed = order.map(Integer.valueOf)
+      java.util.Arrays.sort(orderBoxed, (a: Integer, b: Integer) => {
+        val c = Integer.compare(vs(b), vs(a))
+        if (c != 0) c else java.lang.Long.compare(ks(a), ks(b))
+      })
+      val picked = new LongIntMap(PairsPerRound * 2)
       var k = 0
       var idx = 0
-      while (k < PairsPerRound && idx < entries.size()) {
-        val e = entries.get(idx)
-        if (e.getValue >= MinPairFreq) {
+      while (k < PairsPerRound && idx < orderBoxed.length) {
+        val e = orderBoxed(idx).intValue()
+        if (vs(e) >= MinPairFreq) {
           val sym = SymbolBase + symLeft.size()
-          symLeft.add((e.getKey >>> 32).toInt)
-          symRight.add((e.getKey & 0xffffffffL).toInt)
-          picked.put(e.getKey, sym)
+          symLeft.add((ks(e) >>> 32).toInt)
+          symRight.add((ks(e) & 0xffffffffL).toInt)
+          picked.addTo(ks(e), sym)
           k += 1
         }
         idx += 1
       }
-      if (picked.isEmpty) continue = false
+      if (picked.size == 0) continue = false
       else {
         // greedy non-overlapping left-to-right replacement
         val out = new Array[Int](stream.length)
@@ -294,7 +298,7 @@ object FsstCodec extends TokenCodec {
         while (i < stream.length) {
           if (i + 1 < stream.length) {
             val key = (stream(i).toLong << 32) | (stream(i + 1).toLong & 0xffffffffL)
-            val sym = picked.getOrDefault(key, -1)
+            val sym = picked.get(key, -1)
             if (sym >= 0) { out(o) = sym; o += 1; i += 2 }
             else { out(o) = stream(i); o += 1; i += 1 }
           } else { out(o) = stream(i); o += 1; i += 1 }

@@ -62,27 +62,30 @@ class TokenCompressor(val opts: EncodeOptions) extends Serializable {
   ): Dataset[EncodedBlock] = {
     val spark = ds.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
     val o = opts
     val planB = spark.sparkContext.broadcast(plan)
 
-    val withPart: Dataset[(Int, TokenRow)] = ds.mapPartitions { it =>
-      val p = planB.value
-      it.map(r => (p.partIdOf(r.doc_id), r))
-    }(Encoders.tuple(Encoders.scalaInt, Encoders.product[TokenRow]))
+    // part_id as a column expression (UDF over doc_id only) keeps rows in
+    // Tungsten format through the exchange + sort — token arrays are
+    // deserialized exactly once, in the final mapPartitions
+    val partIdUdf = udf((id: String) => planB.value.partIdOf(id))
+    val withPart = ds.toDF().withColumn("part_id", partIdUdf(col("doc_id")))
 
     val filtered = onlyParts match {
-      case Some(parts) =>
-        val pset = parts // serializable Set[Int]
-        withPart.filter(t => pset.contains(t._1))
+      case Some(parts) => withPart.where(col("part_id").isin(parts.toSeq: _*))
       case None => withPart
     }
 
     val routed = filtered
-      .repartition(onlyParts.map(_.size).getOrElse(plan.numParts), $"_1")
-      .sortWithinPartitions($"_1", $"_2.doc_id")
+      .repartition(onlyParts.map(_.size).getOrElse(plan.numParts), col("part_id"))
+      .sortWithinPartitions(col("part_id"), col("doc_id"))
+      .select("part_id", "doc_id", "tokens", "n_tok", "source")
+      .as[(Int, String, Array[Int], Int, String)]
 
     routed.mapPartitions { it =>
-      BlockEncoder.encodePartition(it, o)
+      BlockEncoder.encodePartition(
+        it.map(r => (r._1, TokenRow(r._2, r._3, r._4, r._5))), o)
     }(Encoders.product[EncodedBlock])
   }
 

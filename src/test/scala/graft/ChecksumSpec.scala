@@ -30,6 +30,12 @@ class ChecksumSpec extends AnyFunSuite {
     assert(Checksum.xxh64(Array.emptyByteArray, 0L) == 0xEF46DB3751D8E999L)
   }
 
+  test("known vectors (XXH32 spec)") {
+    // canonical vectors from the xxHash reference implementation
+    assert(Checksum.xxh32(Array.emptyByteArray, 0) == 0x02CC5D05)
+    assert(Checksum.xxh32("Hello World".getBytes("UTF-8"), 0) == 0xB1FD16EE)
+  }
+
   test("canonical block bytes layout") {
     val b = Checksum.canonicalBlockBytes(Seq(Array(1, 2), Array.empty[Int], Array(3)))
     // [2][1][2] [0] [1][3] as LE int32

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimSearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def vecs(rows: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def unit(dim: Int, axis: Int, noise: Double = 0.0, seed: Int = 1): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    val v = Array.tabulate(dim)(i =>
+      (if (i == axis) 1.0 else 0.0) + noise * r.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / n).toFloat)
+  }
+
+  test("brute-force top-k ranks an exact duplicate first") {
+    val dim = 16
+    val corpus = vecs(Seq(
+      (1L, unit(dim, 0)), (2L, unit(dim, 0)), // duplicates of each other
+      (3L, unit(dim, 1)), (4L, unit(dim, 2)),
+      (5L, unit(dim, 0, noise = 0.05, seed = 7))))
+    val queries = corpus.where("vec_id = 1")
+    val top = SimSearch.bruteForceTopK(corpus, queries, k = 3).collect()
+    assert(top.length == 3)
+    val first = top.find(_.getAs[Int]("rank") == 1).get
+    assert(first.getAs[Long]("neighbor_id") == 2L)
+    assert(math.abs(first.getAs[Double]("cos") - 1.0) < 1e-6)
+    val second = top.find(_.getAs[Int]("rank") == 2).get
+    assert(second.getAs[Long]("neighbor_id") == 5L) // noisy near-dup
+  }
+
+  test("lsh near pairs finds planted near-duplicates") {
+    val dim = 64
+    val rows = (0 until 40).map(i => (i.toLong, unit(dim, i % 16, 0.02, seed = i))) ++
+      Seq((100L, unit(dim, 3, 0.001, seed = 900)), (101L, unit(dim, 3, 0.001, seed = 901)))
+    val pairs = SimSearch.lshNearPairs(vecs(rows), bits = 10, minCos = 0.98,
+      probes = 4, dim = dim).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((100L, 101L)), s"expected planted pair in $found")
+    pairs.foreach(r => assert(r.getAs[Double]("cos") >= 0.98))
+  }
+
+  test("signatures are deterministic") {
+    val planes = SimSearch.hyperplanes(16, 8)
+    val planes2 = SimSearch.hyperplanes(16, 8)
+    assert(planes.flatMap(_.toSeq).sameElements(planes2.flatMap(_.toSeq)))
+    val v = unit(8, 2)
+    assert(SimSearch.signature(v, planes) == SimSearch.signature(v, planes2))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds planted duplicates only") {
+    val df = docsDf(Seq(
+      (1L, "alpha beta gamma"), (2L, "delta"), (3L, "alpha beta gamma"),
+      (4L, "unique text here"), (5L, "delta")))
+    val groups = TextOps.exactDupGroups(df).collect()
+    assert(groups.length == 2)
+    assert(groups.map(_.getAs[Long]("cnt")).forall(_ == 2))
+    assert(groups.map(_.getAs[Long]("keep_doc_id")).toSet == Set(1L, 2L))
+  }
+
+  test("minhash LSH finds near-duplicates, skips dissimilar") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val near = base + " extra"
+    val far = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = docsDf(Seq((1L, base), (2L, near), (3L, far)))
+    val pairs = TextOps.minhashDupPairs(df, minJaccard = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("est_jaccard") > 0.7)
+  }
+
+  test("simhash hamming distance small for near-dup, large for unrelated") {
+    val a = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val b = a + " tail"
+    val c = (1 to 100).map(i => s"zzz$i").mkString(" ")
+    val hab = java.lang.Long.bitCount(TextOps.simhash(a) ^ TextOps.simhash(b))
+    val hac = java.lang.Long.bitCount(TextOps.simhash(a) ^ TextOps.simhash(c))
+    assert(hab <= 3, s"near-dup hamming $hab")
+    assert(hac > 10, s"unrelated hamming $hac")
+  }
+
+  test("simhash dup pairs via segment blocking") {
+    val a = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val df = docsDf(Seq((1L, a), (2L, a + " tail"), (3L, "completely different")))
+    val pairs = TextOps.simhashDupPairs(df, maxHamming = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("ngram jaccard: identity 1.0, disjoint 0.0, monotone in overlap") {
+    assert(TextOps.ngramJaccard("hello world", "hello world") == 1.0)
+    assert(TextOps.ngramJaccard("aaaaaaa", "zzzzzzz") == 0.0)
+    val j1 = TextOps.ngramJaccard("the quick brown fox jumps", "the quick brown fox leaps")
+    val j2 = TextOps.ngramJaccard("the quick brown fox jumps", "an entirely different text")
+    assert(j1 > j2 && j1 > 0.4)
+  }
+
+  test("fingerprints: deterministic, shift-robust overlap") {
+    val t = "the quick brown fox jumps over the lazy dog and keeps running far"
+    val f1 = TextOps.fingerprints(t)
+    val f2 = TextOps.fingerprints(t)
+    assert(f1.sameElements(f2))
+    // winnowing: a prefix shift preserves most fingerprints
+    val shifted = "XY " + t
+    val overlap = f1.toSet.intersect(TextOps.fingerprints(shifted).toSet).size
+    assert(overlap >= f1.length / 2, s"overlap $overlap of ${f1.length}")
+    assert(TextOps.fingerprints("").isEmpty)
+    assert(TextOps.fingerprints(null).isEmpty)
+  }
+
+  test("quality + tokcount agree with manual counts") {
+    val df = docsDf(Seq((1L, "Hello, World! 42"), (2L, ""), (3L, "  a  b  ")))
+    val q = TextOps.quality(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getAs[Int]("n_words") == 3)
+    assert(q(2L).getAs[Int]("n_words") == 0)
+    assert(q(3L).getAs[Int]("n_words") == 2)
+    assert(q(1L).getAs[Int]("n_chars") == 16)
+    assert(math.abs(q(1L).getAs[Double]("punct_ratio") - 2.0 / 16) < 1e-9)
+  }
+
+  test("langId picks the stopword-dominant language deterministically") {
+    val df = docsDf(Seq(
+      (1L, "the cat and the dog of the house went to the market"),
+      (2L, "der Hund und die Katze und der Vogel nicht hier"),
+      (3L, "le chat et les chiens et le jardin des fleurs"),
+      (4L, "xyzzy plugh abracadabra")))
+    val out = TextOps.langId(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "fr")
+    assert(out(4L) == "und")
+  }
+}
