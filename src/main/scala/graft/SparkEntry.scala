@@ -126,13 +126,12 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), u(col("text")).as("h")).orderBy("doc_id")
     }),
     "h_hashobject" -> ((s, dir) => {
-      // canonicalize-then-digest (reference hashObject semantics): canonical
-      // LE layout of the token array, then XXH64 — cross-validated against
-      // Spark's xxhash64 in ChecksumSpec
-      val hashUdf = udf((toks: Seq[Int]) =>
-        Checksum.xxh64(Checksum.canonicalBlockBytes(Seq(toks.toArray))))
+      // canonicalize-then-digest (reference hashObject semantics) via the
+      // native codegen expression CanonicalXxh64 (expressions.scala) —
+      // cross-validated against the byte-layout hash in ChecksumSpec
+      GraftFunctions.register(s)
       TokenTables.fromLineitem(s, dir).toDF()
-        .select(col("doc_id"), hashUdf(col("tokens")).as("h"))
+        .select(col("doc_id"), expr("canonical_xxh64(tokens)").as("h"))
         .orderBy("doc_id")
     }),
 

@@ -142,6 +142,81 @@ object Checksum {
     h
   }
 
+  /** Streaming XXH64 over a stream of little-endian int32 values — hashes
+    * the same byte stream as [[xxh64]] over the ints' LE bytes, with zero
+    * allocation (the canonical token layout is int-aligned by
+    * construction, so blocks/rows can be hashed without materializing the
+    * canonical byte array).
+    */
+  final class Xxh64IntStream(seed: Long = Seed) {
+    private var v1 = seed + P1 + P2
+    private var v2 = seed + P2
+    private var v3 = seed
+    private var v4 = seed - P1
+    private val buf = new Array[Int](8) // one 32-byte stripe
+    private var fill = 0
+    private var totalBytes = 0L
+    private var anyStripe = false
+
+    def update(v: Int): Unit = {
+      buf(fill) = v
+      fill += 1
+      totalBytes += 4
+      if (fill == 8) {
+        v1 = java.lang.Long.rotateLeft(v1 + pair(0) * P2, 31) * P1
+        v2 = java.lang.Long.rotateLeft(v2 + pair(2) * P2, 31) * P1
+        v3 = java.lang.Long.rotateLeft(v3 + pair(4) * P2, 31) * P1
+        v4 = java.lang.Long.rotateLeft(v4 + pair(6) * P2, 31) * P1
+        fill = 0
+        anyStripe = true
+      }
+    }
+
+    private def pair(i: Int): Long =
+      (buf(i) & 0xffffffffL) | (buf(i + 1).toLong << 32)
+
+    def digest(): Long = {
+      var h =
+        if (anyStripe)
+          java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+            java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+        else seed + P5
+      if (anyStripe) {
+        h = (h ^ java.lang.Long.rotateLeft(v1 * P2, 31) * P1) * P1 + P4
+        h = (h ^ java.lang.Long.rotateLeft(v2 * P2, 31) * P1) * P1 + P4
+        h = (h ^ java.lang.Long.rotateLeft(v3 * P2, 31) * P1) * P1 + P4
+        h = (h ^ java.lang.Long.rotateLeft(v4 * P2, 31) * P1) * P1 + P4
+      }
+      h += totalBytes
+      var i = 0
+      while (i + 2 <= fill) {
+        h ^= java.lang.Long.rotateLeft(pair(i) * P2, 31) * P1
+        h = java.lang.Long.rotateLeft(h, 27) * P1 + P4
+        i += 2
+      }
+      if (i < fill) {
+        h ^= (buf(i) & 0xffffffffL) * P1
+        h = java.lang.Long.rotateLeft(h, 23) * P2 + P3
+      }
+      h ^= h >>> 33
+      h *= P2
+      h ^= h >>> 29
+      h *= P3
+      h ^= h >>> 32
+      h
+    }
+  }
+
+  /** Canonical-layout hash of one token row, allocation-free. */
+  def rowHash(tokens: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val st = new Xxh64IntStream()
+    val n = tokens.numElements()
+    st.update(n)
+    var i = 0
+    while (i < n) { st.update(tokens.getInt(i)); i += 1 }
+    st.digest()
+  }
+
   /** Canonical bytes of one row: [n_tok int32 LE][tokens int32 LE ...]. */
   def canonicalRowSize(nTok: Int): Int = 4 + 4 * nTok
 
@@ -162,4 +237,22 @@ object Checksum {
   /** Streaming-free convenience: checksum of a block's canonical bytes. */
   def blockChecksum(tokenArrays: Iterable[Array[Int]]): Long =
     xxh64(canonicalBlockBytes(tokenArrays))
+
+  /** Allocation-free equivalent of [[blockChecksum]] over the flattened
+    * token stream + per-row lengths (asserted equal in ChecksumSpec).
+    */
+  def blockChecksumFlat(nToks: Array[Int], flat: Array[Int]): Long = {
+    val st = new Xxh64IntStream()
+    var pos = 0
+    var r = 0
+    while (r < nToks.length) {
+      val n = nToks(r)
+      st.update(n)
+      var i = 0
+      while (i < n) { st.update(flat(pos + i)); i += 1 }
+      pos += n
+      r += 1
+    }
+    st.digest()
+  }
 }

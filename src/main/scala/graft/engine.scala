@@ -170,7 +170,7 @@ object BlockEncoder {
         if (pp.length < payload0.length) (pp, po, PlainCodec.name)
         else (payload0, outer0, codec.name)
       } else (payload0, outer0, codec.name)
-    val checksum = Checksum.blockChecksum(rows.map(_.tokens))
+    val checksum = Checksum.blockChecksumFlat(rows.map(_.tokens.length), flat)
     val micros = (System.nanoTime() - t0) / 1000
     EncodedBlock(
       part_id = partId,
@@ -195,6 +195,12 @@ object BlockEncoder {
   def decodeBlock(b: EncodedBlock, verify: Boolean): Iterator[TokenRow] = {
     val codecBytes = Zframe.unframe(b.payload, b.outer)
     val flat = CodecRegistry.decode(b.codec, codecBytes, b.n_tokens.toInt)
+    if (verify) {
+      val ck = Checksum.blockChecksumFlat(b.n_toks, flat)
+      require(ck == b.checksum,
+        s"checksum mismatch in block ${b.block_id} (part ${b.part_id}): " +
+          s"stored ${b.checksum}, decoded $ck")
+    }
     val out = new Array[TokenRow](b.n_docs)
     var pos = 0
     var i = 0
@@ -204,12 +210,6 @@ object BlockEncoder {
       out(i) = TokenRow(b.doc_ids(i), toks, n, b.sources(i))
       pos += n
       i += 1
-    }
-    if (verify) {
-      val ck = Checksum.blockChecksum(out.map(_.tokens))
-      require(ck == b.checksum,
-        s"checksum mismatch in block ${b.block_id} (part ${b.part_id}): " +
-          s"stored ${b.checksum}, decoded $ck")
     }
     out.iterator
   }

@@ -20,13 +20,17 @@ final case class PartLineage(
     wall_micros: Long
 )
 
-/** One committed snapshot of the encoded table. */
+/** One committed snapshot of the encoded table. `streamBatchId` is the
+  * highest streaming micro-batch folded in (None for pure-batch tables);
+  * replayed foreachBatch invocations with id <= this are skipped.
+  */
 final case class Snapshot(
     version: Int,
     committedAtMillis: Long,
     plan: PartitionPlan,
     committed: Set[Int],
-    lineage: Map[Int, PartLineage]
+    lineage: Map[Int, PartLineage],
+    streamBatchId: Option[Long] = None
 )
 
 /** Iceberg-style append-only snapshot log over partitioned Parquet.
@@ -86,6 +90,7 @@ object ManifestIO {
     val root = m.createObjectNode()
     root.put("version", s.version)
     root.put("committed_at", s.committedAtMillis)
+    s.streamBatchId.foreach(b => root.put("stream_batch_id", b))
     val p = root.putObject("plan")
     val ba = p.putArray("boundaries"); s.plan.boundaries.foreach(ba.add)
     val sa = p.putArray("saltOf"); s.plan.saltOf.foreach(sa.add)
@@ -140,7 +145,8 @@ object ManifestIO {
       root.get("committed_at").asLong,
       plan,
       root.get("committed").elements().asScala.map(_.asInt).toSet,
-      lineage
+      lineage,
+      Option(root.get("stream_batch_id")).map(_.asLong)
     )
   }
 }

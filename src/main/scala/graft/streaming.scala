@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming ingestion into the encoded table: a file stream of
+  * token rows is block-encoded per micro-batch and committed to the same
+  * snapshot manifest the batch job uses.
+  *
+  * Exactly-once: Spark's streaming checkpoint gives at-least-once
+  * foreachBatch invocations; idempotence comes from (a) recording the
+  * highest committed batch id in each snapshot and skipping replays, and
+  * (b) batch data landing in a batch-scoped subdirectory that is
+  * deterministically overwritten on retry. The reference has no streaming
+  * (SURVEY.md §2.8) — this is the Spark-native growth path for continuous
+  * token ingestion.
+  */
+object StreamingEncode {
+
+  val tokenSchema: org.apache.spark.sql.types.StructType =
+    Encoders.product[TokenRow].schema
+
+  /** Append one micro-batch of token rows as encoded blocks. Blocks are
+    * routed with the table's persistent partition plan (from snapshot v0)
+    * so stream and batch writes cluster identically.
+    */
+  def appendBatch(
+      batch: Dataset[TokenRow],
+      table: String,
+      opts: EncodeOptions,
+      batchId: Long
+  ): Unit = {
+    val spark = batch.sparkSession
+    val base = ManifestIO.latest(spark, table).getOrElse {
+      val plan = Planner.plan(batch, opts)
+      val s0 = Snapshot(0, System.currentTimeMillis(), plan, Set.empty, Map.empty)
+      ManifestIO.write(spark, table, s0)
+      s0
+    }
+    if (base.streamBatchId.exists(_ >= batchId)) return // replayed batch
+    val comp = TokenCompressor(opts)
+    val blocks = comp.encodeWithPlan(batch, base.plan, None)
+    // batch-scoped directory: deterministic overwrite on retry
+    val dir = s"$table/stream_batches/batch=$batchId"
+    blocks.toDF().write.mode(SaveMode.Overwrite).parquet(dir)
+    val m = spark.read.parquet(dir).agg(
+      count(lit(1)).as("blocks"), sum("n_docs").as("docs"),
+      sum("n_tokens").as("toks"), sum("raw_bytes").as("raw"),
+      sum("encoded_bytes").as("enc")).head()
+    val lineage = base.lineage.updated(-1,
+      base.lineage.get(-1).map { l =>
+        l.copy(
+          n_blocks = l.n_blocks + m.getAs[Long]("blocks"),
+          n_docs = l.n_docs + m.getAs[Long]("docs"),
+          n_tokens = l.n_tokens + m.getAs[Long]("toks"),
+          raw_bytes = l.raw_bytes + m.getAs[Long]("raw"),
+          encoded_bytes = l.encoded_bytes + m.getAs[Long]("enc"))
+      }.getOrElse(PartLineage(-1, m.getAs[Long]("blocks"), m.getAs[Long]("docs"),
+        m.getAs[Long]("toks"), m.getAs[Long]("raw"), m.getAs[Long]("enc"),
+        0L, Map.empty, 0L)))
+    ManifestIO.write(spark, table,
+      base.copy(version = base.version + 1,
+        committedAtMillis = System.currentTimeMillis(),
+        lineage = lineage,
+        streamBatchId = Some(batchId)))
+  }
+
+  /** Start the ingestion stream over a directory of token parquet files. */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      table: String,
+      opts: EncodeOptions = EncodeOptions.default,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(tokenSchema)
+      .parquet(inputDir)
+      .as[TokenRow](Encoders.product[TokenRow])
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[TokenRow], batchId: Long) =>
+        appendBatch(batch, table, opts, batchId)
+      }
+      .option("checkpointLocation", s"$table/_stream_checkpoint")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Read back everything the stream has committed, as token rows. */
+  def readDecoded(spark: SparkSession, table: String): Dataset[TokenRow] = {
+    val snap = ManifestIO.latest(spark, table)
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $table"))
+    val cols = Encoders.product[EncodedBlock].schema.fieldNames.map(col)
+    val blocks = spark.read.parquet(s"$table/stream_batches/*")
+      .select(cols.toIndexedSeq: _*).as[EncodedBlock](Encoders.product[EncodedBlock])
+    TokenCompressor(EncodeOptions.default).decode(blocks)
+  }
+}

@@ -48,6 +48,37 @@ class ChecksumSpec extends AnyFunSuite {
     assert(Bits.readIntLE(b, 20) == 3)
   }
 
+  test("streaming int-stream XXH64 equals byte-layout XXH64") {
+    for (_ <- 1 to 100) {
+      val rows = (0 to rnd.nextInt(5)).map(_ =>
+        Array.fill(rnd.nextInt(200))(rnd.nextInt())).toArray
+      val viaBytes = Checksum.blockChecksum(rows)
+      val viaStream = Checksum.blockChecksumFlat(rows.map(_.length), rows.flatten)
+      assert(viaBytes == viaStream)
+    }
+    // edge: empty block, empty rows
+    assert(Checksum.blockChecksumFlat(Array.empty, Array.empty) ==
+      Checksum.blockChecksum(Seq.empty))
+    assert(Checksum.blockChecksumFlat(Array(0, 0), Array.empty) ==
+      Checksum.blockChecksum(Seq(Array.empty[Int], Array.empty[Int])))
+  }
+
+  test("CanonicalXxh64 expression (codegen) matches the kernel hash") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val data = (1 to 50).map(i =>
+      (i, Array.fill(rnd.nextInt(100))(rnd.nextInt(50257)))) :+
+      ((51, Array.empty[Int]))
+    val df = data.toDF("i", "tokens")
+    val got = df.selectExpr("i", "canonical_xxh64(tokens) as h").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    data.foreach { case (i, toks) =>
+      val want = Checksum.xxh64(Checksum.canonicalBlockBytes(Seq(toks)))
+      assert(got(i) == want, s"row $i")
+    }
+  }
+
   test("block checksum is partition/retry independent (pure function of rows)") {
     val rows = Fixtures.localRows(50).map(_.tokens)
     val a = Checksum.blockChecksum(rows)
