@@ -403,6 +403,19 @@ object SparkEntry {
           |    / greatest(cast(length(text) as double), 1.0), 4) AS upper_ratio
           |FROM documents ORDER BY doc_id""".stripMargin,
       "t_langid" -> langOracle,
+      "emb_norm" ->
+        """SELECT vec_id,
+          |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
+      "ann_topk" ->
+        """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings ORDER BY vec_id LIMIT 8),
+          |s AS (
+          |  SELECT q.qid query_id, c.vec_id neighbor_id,
+          |         list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]) cos
+          |  FROM q CROSS JOIN embeddings c WHERE c.vec_id != q.qid),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) rank FROM s)
+          |SELECT query_id, cast(rank as int) AS rank, neighbor_id, round(cos, 4) AS cos
+          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       "dd_exact" ->
         s"""SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_doc_id
            |FROM $docsWithDupsSql u

@@ -72,6 +72,20 @@ object ManifestIO {
     }
   }
 
+  /** Time travel: load a specific committed snapshot version. */
+  def at(spark: SparkSession, table: String, version: Int): Option[Snapshot] = {
+    val f = fs(spark, table)
+    val p = new Path(snapshotsDir(table), f"v$version%05d.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val bytes =
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      Some(fromJson(mapper.readTree(bytes)))
+    }
+  }
+
   def write(spark: SparkSession, table: String, s: Snapshot): Unit = {
     val f = fs(spark, table)
     val dir = snapshotsDir(table)
@@ -247,10 +261,18 @@ object ResumableEncodeJob {
     next
   }
 
-  /** Read the encoded table back as blocks (latest snapshot's parts only). */
-  def readBlocks(spark: SparkSession, table: String): Dataset[EncodedBlock] = {
+  /** Read the encoded table back as blocks. `asOfVersion` time-travels to
+    * an older snapshot (Iceberg semantics: a snapshot's part set is
+    * immutable once committed, so old reads stay consistent while new
+    * parts land).
+    */
+  def readBlocks(spark: SparkSession, table: String,
+                 asOfVersion: Option[Int] = None): Dataset[EncodedBlock] = {
     import org.apache.spark.sql.Encoders
-    val snap = ManifestIO.latest(spark, table)
+    val snap = asOfVersion
+      .map(v => ManifestIO.at(spark, table, v)
+        .getOrElse(throw new IllegalStateException(s"no snapshot v$v in $table")))
+      .orElse(ManifestIO.latest(spark, table))
       .getOrElse(throw new IllegalStateException(s"no snapshot in $table"))
     val committed = snap.committed.toSeq
     val df = spark.read.parquet(ManifestIO.dataDir(table).toString)

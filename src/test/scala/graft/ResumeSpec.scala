@@ -56,6 +56,13 @@ class ResumeSpec extends AnyFunSuite {
       assert(u.lineage(pid).checksum_xor == l.checksum_xor, s"part $pid differs")
       assert(u.lineage(pid).n_tokens == l.n_tokens)
     }
+
+    // time travel: snapshot v1 sees exactly the first 5 parts' docs
+    val v1Blocks = ResumableEncodeJob.readBlocks(spark, s"$dir/t1", Some(1))
+    val v1Docs = v1Blocks.collect().map(_.n_docs.toLong).sum
+    assert(v1Docs == s1.lineage.values.map(_.n_docs).sum)
+    assert(v1Docs < 1200L)
+    assert(ManifestIO.at(spark, s"$dir/t1", 99).isEmpty)
   }
 
   test("stale uncommitted files are cleaned before re-encode") {
