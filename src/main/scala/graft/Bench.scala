@@ -106,10 +106,12 @@ object Bench {
         runs.minBy(_._1)
       } finally stop(s)
     }
-    atCores(8, 3) // JIT + page-cache warmup, discarded
+    // JIT + page-cache warmup at every level (shared JVM => shared JIT;
+    // C2 needs several full passes), discarded
+    atCores(32, 2); atCores(8, 2); atCores(2, 1)
     val (sec2, toks2, _, _, _) = atCores(2, 3)
-    val (sec8, toks8, _, _, _) = atCores(8, 3)
-    val (sec32, toks32, raw32, enc32, mix) = atCores(32, 4)
+    val (sec8, toks8, _, _, _) = atCores(8, 4)
+    val (sec32, toks32, raw32, enc32, mix) = atCores(32, 5)
     val thr2 = toks2 / sec2 / 1e6
     val thr8 = toks8 / sec8 / 1e6
     val thr32 = toks32 / sec32 / 1e6

@@ -232,7 +232,7 @@ object DictCodec extends TokenCodec {
 object FsstCodec extends TokenCodec {
   val id = 5; val name = "fsst"
   val SymbolBase: Int = 1 << 28
-  val MaxRounds = 8
+  val MaxRounds = 6
   val PairsPerRound = 96
   val MinPairFreq = 4
 
@@ -247,7 +247,11 @@ object FsstCodec extends TokenCodec {
     val n2 = s.n - gain
     val alpha = s.distinct + 512
     val w = bitsNeeded(alpha - 1)
-    6L * 512 + 4L + 3L * alpha + packedSize(n2.toInt, w)
+    val size = 6L * 512 + 4L + 3L * alpha + packedSize(n2.toInt, w)
+    // cost-aware selection: fsst encode is ~5x the CPU of dict/rle, so it
+    // must beat them by a margin, not a hair (same trade the reference
+    // makes preferring native backends only when they exist cheaply)
+    size + size / 7
   }
 
   def encode(tokens: Array[Int]): Array[Byte] = {
@@ -257,37 +261,60 @@ object FsstCodec extends TokenCodec {
     var round = 0
     var continue = stream.length >= 8
     while (round < MaxRounds && continue) {
-      // count bigram frequencies (primitive map, no boxing)
-      val freq = new LongIntMap(1 << 12)
+      // count bigram frequencies (primitive map, right-sized up front so
+      // the first rounds never rehash)
+      val freq = new LongIntMap(math.min(math.max(stream.length, 64), 1 << 18))
       var i = 0
       while (i + 1 < stream.length) {
         val key = (stream(i).toLong << 32) | (stream(i + 1).toLong & 0xffffffffL)
         freq.increment(key)
         i += 1
       }
-      // pick top pairs deterministically: by freq desc, then key asc
+      // top-K selection via a fixed-size min-heap of packed
+      // (count:int32 | entryIdx:int32) longs — O(entries * log K), no
+      // boxing, no full sort. Tie-break on entry index, which is the
+      // map's deterministic probe order for identical input.
       val (ks, vs) = freq.entries
-      val order = Array.tabulate(ks.length)(identity)
-      // sort indices by (count desc, key asc) via boxed sort of an index
-      // array only (entry count is small relative to the stream)
-      val orderBoxed = order.map(Integer.valueOf)
-      java.util.Arrays.sort(orderBoxed, (a: Integer, b: Integer) => {
-        val c = Integer.compare(vs(b), vs(a))
-        if (c != 0) c else java.lang.Long.compare(ks(a), ks(b))
-      })
-      val picked = new LongIntMap(PairsPerRound * 2)
-      var k = 0
-      var idx = 0
-      while (k < PairsPerRound && idx < orderBoxed.length) {
-        val e = orderBoxed(idx).intValue()
-        if (vs(e) >= MinPairFreq) {
-          val sym = SymbolBase + symLeft.size()
-          symLeft.add((ks(e) >>> 32).toInt)
-          symRight.add((ks(e) & 0xffffffffL).toInt)
-          picked.addTo(ks(e), sym)
-          k += 1
+      val heapN = math.min(PairsPerRound, vs.length)
+      val heap = new Array[Long](heapN)
+      var hs = 0
+      i = 0
+      while (i < vs.length) {
+        if (vs(i) >= MinPairFreq) {
+          val packed = (vs(i).toLong << 32) | (i.toLong & 0xffffffffL)
+          if (hs < heapN) {
+            heap(hs) = packed; hs += 1
+            if (hs == heapN) java.util.Arrays.sort(heap) // heapify-by-sort once
+          } else if (packed > heap(0)) {
+            // replace min, sift down (heap(0) is min after sort; maintain
+            // via simple binary min-heap)
+            heap(0) = packed
+            var p = 0
+            var cont = true
+            while (cont) {
+              val l = 2 * p + 1; val r = 2 * p + 2
+              var m = p
+              if (l < heapN && heap(l) < heap(m)) m = l
+              if (r < heapN && heap(r) < heap(m)) m = r
+              if (m == p) cont = false
+              else { val t = heap(p); heap(p) = heap(m); heap(m) = t; p = m }
+            }
+          }
         }
-        idx += 1
+        i += 1
+      }
+      // deterministic order: count desc, then entry idx asc
+      val top = java.util.Arrays.copyOf(heap, hs)
+      java.util.Arrays.sort(top)
+      val picked = new LongIntMap(PairsPerRound * 4)
+      var k = top.length - 1
+      while (k >= 0) {
+        val e = (top(k) & 0xffffffffL).toInt
+        val sym = SymbolBase + symLeft.size()
+        symLeft.add((ks(e) >>> 32).toInt)
+        symRight.add((ks(e) & 0xffffffffL).toInt)
+        picked.addTo(ks(e), sym)
+        k -= 1
       }
       if (picked.size == 0) continue = false
       else {
