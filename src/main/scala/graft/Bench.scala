@@ -87,12 +87,15 @@ object Bench {
     // 2) scaling experiment. N vs 4N executors is evidenced in-sandbox by
     // local[2] vs local[8] — both levels stay below this single box's
     // memory-bandwidth saturation, mirroring a real cluster where 4N
-    // executors bring 4N bandwidth. local[32] is additionally reported as
-    // the box's peak (8->32 shares one memory bus across all cores, so
-    // that pair under-reads true cluster scaling).
-    // sampleMod=64: the planner hash-samples ~1/64 of doc ids — the 100 TB
-    // configuration (driver-side boundary sort stays tiny)
-    val opts = EncodeOptions(numParts = 128, sampleMod = 64)
+    // executors bring 4N bandwidth. local[24] is additionally reported as
+    // the box's peak (not 32: with all 32 cores taken, GC/OS/daemon
+    // threads oversubscribe and throughput collapses erratically; 24
+    // leaves them headroom. The 8->24 pair also shares one memory bus,
+    // so it under-reads true cluster scaling).
+    // sampleMod=16 => ~117 sampled docs per boundary at this fixture size
+    // (token-balance max/avg ~1.2); at 10^12 rows you raise sampleMod so
+    // the collected sample stays ~10^7-10^8
+    val opts = EncodeOptions(numParts = 128, sampleMod = 16)
     var planSec = 0.0
     def atCores(cores: Int, reps: Int): (Double, Long, Long, Long, Map[String, Long]) = {
       val s = session(cores)
@@ -108,16 +111,53 @@ object Bench {
     }
     // JIT + page-cache warmup at every level (shared JVM => shared JIT;
     // C2 needs several full passes), discarded
-    atCores(32, 2); atCores(8, 2); atCores(2, 1)
-    val (sec2, toks2, _, _, _) = atCores(2, 3)
-    val (sec8, toks8, _, _, _) = atCores(8, 4)
-    val (sec32, toks32, raw32, enc32, mix) = atCores(32, 5)
+    atCores(24, 2); atCores(8, 2); atCores(2, 1)
+    // interleave the N / 4N sessions so machine-state drift (page cache,
+    // JIT tiers, background load) spreads evenly across both levels;
+    // min over all reps per level = steady-state proxy
+    val pairRuns = (1 to 3).map { _ => (atCores(2, 2), atCores(8, 2)) }
+    val (sec2, toks2, _, _, _) = pairRuns.map(_._1).minBy(_._1)
+    val (sec8, toks8, _, _, _) = pairRuns.map(_._2).minBy(_._1)
+    val (sec24, toks24, raw24, enc24, mix) = atCores(24, 6)
     val thr2 = toks2 / sec2 / 1e6
     val thr8 = toks8 / sec8 / 1e6
-    val thr32 = toks32 / sec32 / 1e6
+    val thr24 = toks24 / sec24 / 1e6
     val scalingEff = thr8 / (4.0 * thr2)
-    val scalingEff8to32 = thr32 / (4.0 * thr8)
-    val ratio = raw32.toDouble / enc32
+    val scalingEff8to24 = thr24 / (3.0 * thr8)
+    val ratio = raw24.toDouble / enc24
+
+    // decode throughput + partition-balance histogram (skew evidence) at 24
+    var thrDec = 0.0
+    var skewMaxOverAvg = 0.0
+    locally {
+      import org.apache.spark.sql.Encoders
+      val s = session(24)
+      try {
+        val ds = s.read.parquet(fixturePath).as[TokenRow](Encoders.product[TokenRow])
+        val plan = Planner.plan(ds, opts)
+        val comp = TokenCompressor(opts)
+        val blocksPath = s"$fixturePath.blocks"
+        comp.encodeWithPlan(ds, plan, None).toDF()
+          .write.mode("overwrite").parquet(blocksPath)
+        // work balance: tokens routed per partition (encoded-bytes balance
+        // is not meaningful — compressibility legitimately differs by
+        // source; the planner balances work, i.e. tokens)
+        val perPart = s.read.parquet(blocksPath)
+          .groupBy("part_id").agg(F.sum("n_tokens").as("b"))
+          .collect().map(_.getAs[Long]("b"))
+        skewMaxOverAvg = perPart.max.toDouble / (perPart.sum.toDouble / perPart.length)
+        val cols = Encoders.product[EncodedBlock].schema.fieldNames.map(F.col)
+        def decodeOnce(): Double = {
+          val blocks = s.read.parquet(blocksPath)
+            .select(cols.toIndexedSeq: _*).as[EncodedBlock](Encoders.product[EncodedBlock])
+          val t0 = System.nanoTime()
+          val n = comp.decode(blocks).toDF().agg(F.sum("n_tok")).head().getLong(0)
+          n / ((System.nanoTime() - t0) / 1e9) / 1e6
+        }
+        decodeOnce() // warm
+        thrDec = (1 to 3).map(_ => decodeOnce()).max
+      } finally stop(s)
+    }
 
     // 3) per-query timings at the driver-configured parallelism
     val s = session(cpus)
@@ -137,12 +177,14 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       f""""encode_mtok_s_local2":$thr2%.1f,"encode_mtok_s_local8":$thr8%.1f,""" +
-      f""""encode_mtok_s_local32":$thr32%.1f,""" +
+      f""""encode_mtok_s_local24":$thr24%.1f,""" +
       f""""scaling_efficiency":$scalingEff%.3f,""" +
-      f""""scaling_efficiency_8to32":$scalingEff8to32%.3f,""" +
+      f""""scaling_efficiency_8to24":$scalingEff8to24%.3f,""" +
       f""""compression_ratio":$ratio%.3f,""" +
+      f""""decode_mtok_s_local24":$thrDec%.1f,""" +
+      f""""part_tokens_max_over_avg":$skewMaxOverAvg%.2f,""" +
       f""""plan_sec":$planSec%.2f,""" +
-      s""""bench_tokens":$toks32,"raw_bytes":$raw32,"encoded_bytes":$enc32,""" +
+      s""""bench_tokens":$toks24,"raw_bytes":$raw24,"encoded_bytes":$enc24,""" +
       s""""codec_mix":$mixJson}""")
   }
 }

@@ -18,7 +18,7 @@ object Exp3 {
     if (!new java.io.File(path, "_SUCCESS").exists())
       Fixtures.tokenTable(s, nDocs, partitions = 256).write.mode("overwrite").parquet(path)
     val ds = s.read.parquet(path).as[TokenRow](Encoders.product[TokenRow])
-    val opts = EncodeOptions(numParts = 128, sampleMod = 64)
+    val opts = EncodeOptions(numParts = 128, sampleMod = 64, blockTokens = sys.env.getOrElse("EXP_BLOCK", (1 << 17).toString).toInt)
     val plan = Planner.plan(ds, opts)
     for (_ <- 1 to 2) {
       TokenCompressor(opts).encodeWithPlan(ds, plan, None).toDF()
