@@ -86,6 +86,16 @@ object SparkEntry {
       comp.decode(comp.encode(input)).toDF()
         .select("doc_id", "tokens", "n_tok").orderBy(col("doc_id"), col("tokens"))
     }),
+    "enc_range_read" -> ((s, dir) => {
+      // encode to a manifest table, then a pruned doc_id-range read
+      // (partition + block min/max pruning before any payload decode)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_range_q").toString
+      val input = TokenTables.fromLineitem(s, dir)
+      ResumableEncodeJob.run(input, tmp, EncodeOptions(numParts = 8))
+      TokenTables.digest(
+        RangeReader.readRange(s, tmp, "0000000100-00", "0000000400-99"))
+        .orderBy("doc_id")
+    }),
     "enc_block_metrics" -> ((s, dir) => {
       val input = TokenTables.fromLineitem(s, dir)
       TokenCompressor(EncodeOptions(numParts = 8)).encode(input).toDF()
@@ -403,6 +413,10 @@ object SparkEntry {
           |    / greatest(cast(length(text) as double), 1.0), 4) AS upper_ratio
           |FROM documents ORDER BY doc_id""".stripMargin,
       "t_langid" -> langOracle,
+      "enc_range_read" ->
+        s"""SELECT * FROM (${TokenTables.lineitemDigestOracle}) d
+           |WHERE doc_id BETWEEN '0000000100-00' AND '0000000400-99'
+           |ORDER BY doc_id""".stripMargin,
       "emb_norm" ->
         """SELECT vec_id,
           |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm

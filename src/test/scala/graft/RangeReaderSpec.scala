@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class RangeReaderSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("range read returns exactly the rows in range, touching only candidate parts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_range").toString
+    val opts = EncodeOptions(numParts = 16)
+    val input = Fixtures.tokenTable(spark, 2000L)
+    ResumableEncodeJob.run(input, s"$dir/t", opts)
+
+    // a range inside one source prefix
+    val from = "small_alpha-0000000000"
+    val to = "small_alpha-0000000500"
+    val got = RangeReader.readRange(spark, s"$dir/t", from, to)
+      .collect().map(_.doc_id).sorted
+    val want = input.collect().map(_.doc_id)
+      .filter(id => id >= from && id <= to).sorted
+    assert(got.sameElements(want))
+    assert(got.nonEmpty)
+
+    // pruning: candidate parts must be a strict subset for a narrow range
+    val snap = ManifestIO.latest(spark, s"$dir/t").get
+    val cand = RangeReader.candidateParts(snap.plan, from, to)
+    assert(cand.size < snap.plan.numParts,
+      s"no pruning: ${cand.size} of ${snap.plan.numParts}")
+    // blocks actually read come only from candidate parts
+    val partsTouched = RangeReader.rangeBlocks(spark, s"$dir/t", from, to)
+      .select("part_id").distinct().as[Int].collect().toSet
+    assert(partsTouched.subsetOf(cand.toSet))
+
+    // degenerate ranges
+    assert(RangeReader.readRange(spark, s"$dir/t", "zzzz", "zzzz2").count() == 0)
+    val one = RangeReader.readRange(spark, s"$dir/t", got.head, got.head).collect()
+    assert(one.length == 1 && one.head.doc_id == got.head)
+  }
+}
