@@ -6,10 +6,12 @@ import org.apache.spark.sql.{SparkSession, functions => F}
   *
   * Measures the BASELINE.md metrics:
   *  - encode throughput (M tokens/s) on the deterministic fixture table at
-  *    two parallelism levels, local[8] vs local[32] — the sandbox stand-in
-  *    for N vs 4N executors (BASELINE.json north_rule) — plus scaling
-  *    efficiency = thr(32) / (4 x thr(8));
-  *  - compression ratio raw/encoded and the codec mix;
+  *    local[2] vs local[8] — the sandbox stand-in for N vs 4N executors
+  *    (BASELINE.json north_rule; both levels below the box's shared
+  *    memory-bandwidth saturation) — plus scaling efficiency
+  *    thr(8) / (4 x thr(2)), and local[24] as the box peak;
+  *  - decode throughput, partition work balance (skew evidence),
+  *    compression ratio raw/encoded and the codec mix;
   *  - per-query wall times for every SparkEntry query at SPARK_GRAFT_CPUS.
   */
 object Bench {

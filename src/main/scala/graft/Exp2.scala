@@ -18,6 +18,8 @@ object Exp2 {
         .config("spark.sql.shuffle.partitions", cores.toString)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+        .config("spark.shuffle.compress", sys.env.getOrElse("EXP_SHUF_COMPRESS", "true"))
+        .config("spark.shuffle.spill.compress", sys.env.getOrElse("EXP_SHUF_COMPRESS", "true"))
         .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
