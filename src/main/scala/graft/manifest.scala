@@ -210,44 +210,52 @@ object ResumableEncodeJob {
       .partitionBy("part_id")
       .parquet(ManifestIO.dataDir(table).toString)
 
-    // lineage from the committed files themselves (column-pruned read: the
-    // payload column is never touched)
-    val written = spark.read.parquet(ManifestIO.dataDir(table).toString)
+    // lineage from the committed files themselves, in ONE job: a two-level
+    // aggregation ((part_id, codec) partials, then per-part rollup with the
+    // codec map + xor-of-checksums via the bit_xor aggregate — no
+    // collect_list of checksums ever materializes) and a single collect of
+    // one small row per part. The read is column-pruned (payload never
+    // touched) and schema-explicit so a zero-block batch (only _SUCCESS on
+    // disk) yields empty lineage instead of a schema-inference failure.
+    import org.apache.spark.sql.Encoders
+    val written = spark.read
+      .schema(Encoders.product[EncodedBlock].schema)
+      .parquet(ManifestIO.dataDir(table).toString)
       .where(col("part_id").isin(batch.toSeq: _*))
-    val lin = written.groupBy("part_id").agg(
-      count(lit(1)).as("n_blocks"),
-      sum("n_docs").as("n_docs"),
-      sum("n_tokens").as("n_tokens"),
-      sum("raw_bytes").as("raw_bytes"),
-      sum("encoded_bytes").as("encoded_bytes"),
-      sum("enc_micros").as("wall_micros")
-    ).collect().map { r =>
-      r.getAs[Int]("part_id") -> PartLineage(
-        r.getAs[Int]("part_id"),
-        r.getAs[Long]("n_blocks"),
-        r.getAs[Long]("n_docs"),
-        r.getAs[Long]("n_tokens"),
-        r.getAs[Long]("raw_bytes"),
-        r.getAs[Long]("encoded_bytes"),
-        0L, // filled below
-        Map.empty[String, Long],
-        r.getAs[Long]("wall_micros")
-      )
-    }.toMap
-    val codecCounts = written.groupBy("part_id", "codec").count().collect()
-      .groupBy(_.getAs[Int]("part_id"))
-      .map { case (pid, rows) =>
-        pid -> rows.map(r => r.getAs[String]("codec") -> r.getAs[Long]("count")).toMap
-      }
-    val ckx = written.groupBy("part_id")
-      .agg(expr("cast(aggregate(collect_list(checksum), 0L, (a, x) -> a ^ x) as long)").as("x"))
-      .collect().map(r => r.getAs[Int]("part_id") -> r.getAs[Long]("x")).toMap
-    val lineage = lin.map { case (pid, l) =>
-      pid -> l.copy(
-        codecs = codecCounts.getOrElse(pid, Map.empty),
-        checksum_xor = ckx.getOrElse(pid, 0L)
-      )
-    }
+    val lineage = written
+      .groupBy("part_id", "codec")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("raw_bytes").as("raw_bytes"),
+        sum("encoded_bytes").as("encoded_bytes"),
+        sum("enc_micros").as("wall_micros"),
+        expr("bit_xor(checksum)").as("ckx"))
+      .groupBy("part_id")
+      .agg(
+        sum("n_blocks").as("n_blocks"),
+        sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("raw_bytes").as("raw_bytes"),
+        sum("encoded_bytes").as("encoded_bytes"),
+        sum("wall_micros").as("wall_micros"),
+        expr("bit_xor(ckx)").as("checksum_xor"),
+        map_from_entries(collect_list(struct(col("codec"), col("n_blocks"))))
+          .as("codecs"))
+      .collect().map { r =>
+        r.getAs[Int]("part_id") -> PartLineage(
+          r.getAs[Int]("part_id"),
+          r.getAs[Long]("n_blocks"),
+          r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("raw_bytes"),
+          r.getAs[Long]("encoded_bytes"),
+          r.getAs[Long]("checksum_xor"),
+          r.getAs[Map[String, Long]]("codecs"),
+          r.getAs[Long]("wall_micros")
+        )
+      }.toMap
 
     // parts in the batch with zero rows still count as committed
     val next = Snapshot(

@@ -55,14 +55,24 @@ final case class EncodedBlock(
   * @param blockTokens  target tokens per block (bounded memory per task)
   * @param numParts     target partition count for range partitioning
   * @param sampleMod    partition planner samples doc_ids where
-  *                     xxhash64(doc_id) % sampleMod == 0 (deterministic)
+  *                     xxhash64(doc_id) % sampleMod == 0 (deterministic).
+  *                     <=0 (default) self-tunes from the row count so the
+  *                     driver-side sample never exceeds Planner.MaxSampleKeys
+  *                     — safe at 10^12 rows; 1 forces the exact all-rows plan
+  * @param strictSizeBound when true, every block also computes zstd over the
+  *                     plain canonical bytes and keeps the smaller — makes
+  *                     `encoded_bytes <= zstd(plain)` a hard per-block
+  *                     guarantee at ~10-15% encode CPU cost; off by default
+  *                     (the cost model's 35%-of-raw heuristic already wins
+  *                     in aggregate, see EngineSpec)
   */
 final case class EncodeOptions(
     codecPolicy: String = "auto",
     zstdLevel: Int = 3,
     blockTokens: Int = 1 << 17,
     numParts: Int = 32,
-    sampleMod: Int = 1
+    sampleMod: Int = 0,
+    strictSizeBound: Boolean = false
 ) extends Serializable
 
 object EncodeOptions {

@@ -20,6 +20,27 @@ import org.apache.spark.sql.functions._
   * sub-parts by xxhash64(doc_id) — this handles ranges that quantiles cannot
   * split (duplicate or highly-concentrated keys).
   */
+/** doc_id ordering used EVERYWHERE boundaries are compared: UTF-8 byte
+  * order, identical to Spark's UTF8String binary comparison (orderBy,
+  * column `<`/`>=`) — Java's String.compareTo orders by UTF-16 code unit,
+  * which diverges for supplementary-plane characters, so a mixed ordering
+  * could silently drop rows from a range read.
+  */
+object DocIdOrder extends Ordering[String] {
+  def compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+}
+
 final case class PartitionPlan(
     boundaries: Array[String],
     saltOf: Array[Int],
@@ -30,12 +51,13 @@ final case class PartitionPlan(
   def numBuckets: Int = saltOf.length
 
   def bucketOf(docId: String): Int = {
-    // first index with boundaries(i) >= docId; bucket = that index
+    // first index with boundaries(i) >= docId (UTF-8 byte order, matching
+    // the Spark-side comparisons used to build the boundaries)
     var lo = 0
     var hi = boundaries.length // bucket index range [0, B-1], B = len+1
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (boundaries(mid) < docId) lo = mid + 1 else hi = mid
+      if (DocIdOrder.compare(boundaries(mid), docId) < 0) lo = mid + 1 else hi = mid
     }
     lo
   }
@@ -53,23 +75,40 @@ final case class PartitionPlan(
 
 object Planner {
 
-  /** Build a plan from a deterministic sample of (doc_id, n_tok).
-    * sampleMod=1 uses every row (exact); larger values hash-sample
-    * 1/sampleMod of rows — at 10^12-sequence scale set sampleMod ~ 10^4 so
-    * the driver-side sort stays O(10^8) keys max and the collected sample is
-    * bounded; boundaries remain statistically near-exact because weights
-    * are token counts, not row counts.
+  /** Hard ceiling on keys collected to the driver for boundary planning.
+    * At 10^12 rows the auto-derived sampleMod keeps the collected sample at
+    * or below this; boundaries remain statistically near-exact because
+    * weights are token counts, not row counts.
+    */
+  val MaxSampleKeys: Long = 1L << 20
+
+  /** Deterministic sampleMod so the collected sample stays <= MaxSampleKeys:
+    * purely a function of the input row count, so re-runs (resume) derive
+    * the identical plan.
+    */
+  def autoSampleMod(rowCount: Long): Int =
+    math.max(1L, (rowCount + MaxSampleKeys - 1) / MaxSampleKeys).toInt
+
+  /** Build a plan from a deterministic hash-selected sample of
+    * (doc_id, n_tok). sampleMod<=0 (the default) self-tunes from a cheap
+    * count() so the driver never collects an unbounded key set; an explicit
+    * sampleMod=1 forces the exact all-rows plan (tests/small tables only).
+    * The sample is sorted driver-side in UTF-8 byte order ([[DocIdOrder]]),
+    * matching Spark's own string comparisons — no cluster-wide sort needed.
     */
   def plan(ds: Dataset[TokenRow], opts: EncodeOptions): PartitionPlan = {
+    val mod =
+      if (opts.sampleMod > 0) opts.sampleMod
+      else autoSampleMod(ds.count())
     val sampled =
-      if (opts.sampleMod <= 1) ds.select(col("doc_id"), col("n_tok"))
+      if (mod <= 1) ds.select(col("doc_id"), col("n_tok"))
       else
         ds.select(col("doc_id"), col("n_tok"))
-          .where(pmod(xxhash64(col("doc_id")), lit(opts.sampleMod)) === 0)
+          .where(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
     val rows = sampled
-      .orderBy(col("doc_id"))
       .collect()
       .map(r => (r.getString(0), r.getInt(1).toLong))
+      .sortBy(_._1)(DocIdOrder)
     fromSample(rows, opts.numParts)
   }
 

@@ -50,7 +50,11 @@ object RangeReader {
       toDoc: String
   ): Dataset[TokenRow] = {
     val blocks = rangeBlocks(spark, table, fromDoc, toDoc)
+    // UTF-8 byte order (DocIdOrder), matching the Spark column comparisons
+    // in rangeBlocks and the planner boundaries — Java String >= would
+    // diverge for supplementary-plane doc_ids and silently drop rows
     TokenCompressor(EncodeOptions.default).decode(blocks)
-      .filter(r => r.doc_id >= fromDoc && r.doc_id <= toDoc)
+      .filter(r => DocIdOrder.compare(r.doc_id, fromDoc) >= 0 &&
+        DocIdOrder.compare(r.doc_id, toDoc) <= 0)
   }
 }

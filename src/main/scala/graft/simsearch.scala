@@ -73,22 +73,12 @@ object SimSearch {
     sig
   }
 
-  /** LSH-bucketed near-neighbor pairs: vectors sharing a signature bucket
-    * are candidates; exact cosine verifies. `probes` adds 1-bit-flip
-    * buckets (multi-probe) to raise recall without more tables.
-    */
-  def lshNearPairs(
-      corpus: DataFrame,
-      bits: Int = 16,
-      minCos: Double = 0.95,
-      probes: Int = 0,
-      dim: Int = 64,
-      maxBucket: Int = 256
-  ): DataFrame = {
+  private def lshBanded(corpus: DataFrame, bits: Int, probes: Int,
+                        dim: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(hyperplanes(bits, dim))
-    val sigs = corpus.select(col("vec_id").cast("long"), col("embedding"))
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val pl = planes.value
@@ -100,9 +90,42 @@ object SimSearch {
         }
       }
       .toDF("vec_id", "bucket", "embedding")
-    sigs.groupBy("bucket")
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
-      .where(size(col("members")).between(2, maxBucket))
+  }
+
+  /** Dropped-mass accounting for the LSH maxBucket cap (same contract as
+    * TextOps.minhashBucketStats).
+    */
+  def lshBucketStats(corpus: DataFrame, bits: Int = 16, probes: Int = 0,
+                     dim: Int = 64, maxBucket: Int = 256): DataFrame = {
+    val sizes = lshBanded(corpus, bits, probes, dim)
+      .groupBy("bucket").agg(count(lit(1)).as("bsz"))
+    sizes.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(when(col("bsz").between(2, maxBucket), 1L).otherwise(0L)).as("n_pair_buckets"),
+      sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("n_oversized"),
+      sum(when(col("bsz") > maxBucket, col("bsz") * (col("bsz") - 1) / 2)
+        .otherwise(0L)).as("dropped_candidate_pairs"))
+  }
+
+  /** LSH-bucketed near-neighbor pairs: vectors sharing a signature bucket
+    * are candidates; exact cosine verifies. `probes` adds 1-bit-flip
+    * buckets (multi-probe) to raise recall without more tables. Oversized
+    * buckets (> maxBucket members) are excluded by a pre-count BEFORE any
+    * member list materializes (bounded executor memory even on degenerate
+    * all-identical corpora); quantify the dropped mass with
+    * [[lshBucketStats]].
+    */
+  def lshNearPairs(
+      corpus: DataFrame,
+      bits: Int = 16,
+      minCos: Double = 0.95,
+      probes: Int = 0,
+      dim: Int = 64,
+      maxBucket: Int = 256
+  ): DataFrame = {
+    val sigs = lshBanded(corpus, bits, probes, dim)
+    TextOps.boundedBuckets(sigs, Seq("bucket"),
+      struct(col("vec_id"), col("embedding")), maxBucket)
       .select(explode(expr(
         """flatten(transform(members, (m, i) ->
           |  transform(slice(members, i + 2, size(members)), n ->

@@ -87,12 +87,24 @@ object StreamingEncode {
       .start()
   }
 
-  /** Read back everything the stream has committed, as token rows. */
+  /** Read back everything the stream has COMMITTED, as token rows. Batch
+    * directories are derived from the snapshot's streamBatchId — a bare
+    * glob would also pick up a half-written directory from a crashed
+    * foreachBatch attempt that never committed its snapshot, breaking the
+    * commit-then-visible law the batch readers obey.
+    */
   def readDecoded(spark: SparkSession, table: String): Dataset[TokenRow] = {
     val snap = ManifestIO.latest(spark, table)
       .getOrElse(throw new IllegalStateException(s"no snapshot in $table"))
+    val maxBatch = snap.streamBatchId.getOrElse(-1L)
+    val fs = ManifestIO.fs(spark, table)
+    val committedDirs = (0L to maxBatch)
+      .map(b => s"$table/stream_batches/batch=$b")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
     val cols = Encoders.product[EncodedBlock].schema.fieldNames.map(col)
-    val blocks = spark.read.parquet(s"$table/stream_batches/*")
+    val blocks = spark.read
+      .schema(Encoders.product[EncodedBlock].schema)
+      .parquet(committedDirs: _*)
       .select(cols.toIndexedSeq: _*).as[EncodedBlock](Encoders.product[EncodedBlock])
     TokenCompressor(EncodeOptions.default).decode(blocks)
   }

@@ -162,18 +162,10 @@ object TextOps {
     sig
   }
 
-  /** MinHash+LSH near-dup candidate pairs: signatures per doc (narrow), then
-    * explode into `bands` bucket keys and groupBy the bucket — the only
-    * shuffle. Returns (doc_a, doc_b, est_jaccard) for pairs sharing >=1 band,
-    * est_jaccard = fraction of matching signature components.
+  /** Doc ids + banded minhash bucket keys — shared by the pair generator
+    * and [[minhashBucketStats]].
     */
-  def minhashDupPairs(
-      df: DataFrame,
-      k: Int = 64,
-      bands: Int = 16,
-      minJaccard: Double = 0.7,
-      maxBucket: Int = 64
-  ): DataFrame = {
+  private def minhashBanded(df: DataFrame, k: Int, bands: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rowsPerBand = k / bands
@@ -182,15 +174,70 @@ object TextOps {
         (id, minhashSignature(shingleHashes(text), k))
       })
       .toDF("doc_id", "sig")
-    val banded = sigs.select(
+    sigs.select(
       col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band")
     ).withColumn("bucket",
       xxhash64(col("band"),
         slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
-    val buckets = banded.groupBy("band", "bucket")
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
-      .where(size(col("members")).between(2, maxBucket))
+  }
+
+  /** Buckets of size 2..maxBucket, with oversized buckets excluded BEFORE
+    * any member list materializes: a cheap pre-count aggregation on the
+    * bucket key (map-side partial, one tiny row per bucket) gates the
+    * collect_list, so a degenerate mega-bucket (millions of boilerplate
+    * docs sharing a signature) never builds an unbounded aggregation
+    * buffer. The dropped candidate mass is observable via the companion
+    * `*BucketStats` functions — callers who cap should surface it.
+    */
+  private[graft] def boundedBuckets(
+      banded: DataFrame, keys: Seq[String], member: Column, maxBucket: Int
+  ): DataFrame = {
+    val kc = keys.map(col)
+    val sizes = banded.groupBy(kc: _*)
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz").between(2, maxBucket))
+      .select(keys.head, keys.tail: _*)
+    banded.join(sizes, keys)
+      .groupBy(kc: _*)
+      .agg(collect_list(member).as("members"))
+  }
+
+  /** Per-run accounting of what the maxBucket cap dropped: one row with
+    * (n_buckets, n_pair_buckets, n_oversized, dropped_candidate_pairs).
+    */
+  def minhashBucketStats(
+      df: DataFrame, k: Int = 64, bands: Int = 16, maxBucket: Int = 64
+  ): DataFrame =
+    bucketStatsOf(minhashBanded(df, k, bands), Seq("band", "bucket"), maxBucket)
+
+  private def bucketStatsOf(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("bsz").between(2, maxBucket), 1L).otherwise(0L)).as("n_pair_buckets"),
+        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("n_oversized"),
+        sum(when(col("bsz") > maxBucket, col("bsz") * (col("bsz") - 1) / 2)
+          .otherwise(0L)).as("dropped_candidate_pairs"))
+
+  /** MinHash+LSH near-dup candidate pairs: signatures per doc (narrow), then
+    * explode into `bands` bucket keys and groupBy the bucket. Returns
+    * (doc_a, doc_b, est_jaccard) for pairs sharing >=1 band, est_jaccard =
+    * fraction of matching signature components. Oversized buckets (size >
+    * maxBucket) are pre-filtered before member lists materialize
+    * ([[boundedBuckets]]); count the dropped mass with
+    * [[minhashBucketStats]].
+    */
+  def minhashDupPairs(
+      df: DataFrame,
+      k: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.7,
+      maxBucket: Int = 64
+  ): DataFrame = {
+    val banded = minhashBanded(df, k, bands)
+    val buckets = boundedBuckets(banded, Seq("band", "bucket"),
+      struct(col("doc_id"), col("sig")), maxBucket)
     val pairs = buckets.select(explode(expr(
       """filter(
         |  flatten(transform(members, (m, i) ->
@@ -225,23 +272,17 @@ object TextOps {
     out
   }
 
-  /** SimHash near-dup pairs: block on 4 x 16-bit segments (two docs within
-    * hamming distance 3 must share at least one of 4 segments), verify
-    * hamming distance inside buckets. One shuffle on segment keys.
+  /** SimHash near-dup pairs blocked on maxHamming+1 bit segments — the
+    * pigeonhole bound: two 64-bit hashes within hamming distance d must
+    * agree exactly on at least one of d+1 disjoint segments, for ANY d
+    * (the fixed 4x16-bit split was only sound for d <= 3). Exact hamming
+    * verification inside buckets; one shuffle on segment keys; oversized
+    * buckets pre-filtered like minhash ([[boundedBuckets]]).
     */
-  def simhashDupPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val sigs = df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, simhash(t)) })
-      .toDF("doc_id", "sim")
-    val seg = sigs.select(col("doc_id"), col("sim"),
-      explode(sequence(lit(0), lit(3))).as("s"))
-      .withColumn("key", concat_ws(":", col("s"),
-        expr("(sim >> (s * 16)) & 65535")))
-    seg.groupBy("key")
-      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
-      .where(size(col("members")) > 1)
+  def simhashDupPairs(df: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Int = 64): DataFrame = {
+    boundedBuckets(simhashBanded(df, maxHamming), Seq("key"),
+      struct(col("doc_id"), col("sim")), maxBucket)
       .select(explode(expr(
         """flatten(transform(members, (m, i) ->
           |  transform(slice(members, i + 2, size(members)), n ->
@@ -252,6 +293,30 @@ object TextOps {
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  private def simhashBanded(df: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming $maxHamming")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nSeg = maxHamming + 1
+    val widths = Array.tabulate(nSeg)(i => 64 / nSeg + (if (i < 64 % nSeg) 1 else 0))
+    val los = widths.scanLeft(0)(_ + _).take(nSeg)
+    val masks = widths.map(w => if (w >= 64) -1L else (1L << w) - 1L)
+    val sigs = df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhash(t)) })
+      .toDF("doc_id", "sim")
+    sigs.select(col("doc_id"), col("sim"),
+      explode(sequence(lit(0), lit(nSeg - 1))).as("s"))
+      .withColumn("lo", element_at(lit(los), col("s") + 1))
+      .withColumn("mask", element_at(lit(masks), col("s") + 1))
+      .withColumn("key", concat_ws(":", col("s"),
+        expr("shiftright(sim, lo) & mask")))
+  }
+
+  /** Dropped-mass accounting for the simhash maxBucket cap. */
+  def simhashBucketStats(df: DataFrame, maxHamming: Int = 3,
+                         maxBucket: Int = 64): DataFrame =
+    bucketStatsOf(simhashBanded(df, maxHamming), Seq("key"), maxBucket)
 
   /** Exact character-n-gram Jaccard similarity for a set of candidate
     * pairs (verification stage after LSH blocking).
