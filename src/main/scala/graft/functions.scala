@@ -205,11 +205,43 @@ object IdGen {
     uuidBytes(u)
   }
   def uuidv4String: String = java.util.UUID.randomUUID().toString
-  /** Time-ordered unique id (v1's role: monotonic snapshot ids). */
-  def timeUuidString: String = {
-    val t = System.currentTimeMillis()
-    f"$t%013x-${java.util.UUID.randomUUID().toString.takeRight(22)}%s"
+
+  // RFC 4122 §4.2 version-1 UUID state: 100ns ticks since the Gregorian
+  // epoch 1582-10-15, a random 14-bit clock sequence, and (absent a real
+  // MAC) a random 48-bit node with the multicast bit set, as the RFC
+  // prescribes for randomly generated node ids.
+  private val GregorianOffset100ns = 122192928000000000L
+  private val v1Lock = new Object
+  private var v1LastTicks = 0L
+  private val v1ClockSeq = new java.security.SecureRandom().nextInt(1 << 14)
+  private val v1Node: Long = {
+    val rnd = new java.security.SecureRandom().nextLong() & 0xffffffffffffL
+    rnd | 0x010000000000L // multicast bit marks a non-MAC node id
   }
+
+  /** Proper time-based uuidv1 (reference IDFormat UUIDV1,
+    * /root/reference/src/EncodeTools.ts:1094-1096): 60-bit timestamp split
+    * low/mid/high with version 1, RFC variant, monotonic within this JVM
+    * (sub-ms calls increment the tick counter).
+    */
+  def uuidv1: java.util.UUID = {
+    val ticks = v1Lock.synchronized {
+      var t = System.currentTimeMillis() * 10000L + GregorianOffset100ns
+      if (t <= v1LastTicks) t = v1LastTicks + 1
+      v1LastTicks = t
+      t
+    }
+    val timeLow = ticks & 0xffffffffL
+    val timeMid = (ticks >>> 32) & 0xffffL
+    val timeHi = (ticks >>> 48) & 0x0fffL
+    val msb = (timeLow << 32) | (timeMid << 16) | 0x1000L | timeHi
+    val lsb = (0x8000L | v1ClockSeq.toLong) << 48 | v1Node
+    new java.util.UUID(msb, lsb)
+  }
+  def uuidv1String: String = uuidv1.toString
+
+  /** Time-ordered unique id (v1's role: monotonic snapshot ids). */
+  def timeUuidString: String = uuidv1String
   def nanoid(size: Int = 21): String = {
     val alphabet = "_-0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
     val rnd = new java.security.SecureRandom()
@@ -234,8 +266,68 @@ object IdGen {
     b.array()
   }
   /** UUID bytes ↔ 22-char base64url slug (reference
-    * `encodeSlugID`/`decodeSlugID`, EncodeTools.ts:1127-1138).
+    * `encodeSlugID`/`decodeSlugID`, EncodeTools.ts:1127-1138). The 22-char
+    * law: 16 raw bytes -> ceil(16*8/6) = 22 base64url chars, unpadded.
     */
-  def encodeSlug(uuid: Array[Byte]): String = Encodings.base64url(uuid)
-  def decodeSlug(slug: String): Array[Byte] = Encodings.unbase64url(slug)
+  def encodeSlug(uuid: Array[Byte]): String = {
+    require(uuid.length == 16, s"slug input must be 16 UUID bytes, got ${uuid.length}")
+    Encodings.base64url(uuid)
+  }
+  def decodeSlug(slug: String): Array[Byte] = {
+    val b = Encodings.unbase64url(slug)
+    require(b.length == 16, s"slug must decode to 16 bytes, got ${b.length}")
+    b
+  }
+  def slugOfUuidString(u: String): String =
+    encodeSlug(uuidStringBytes(u))
+  def uuidStringBytes(u: String): Array[Byte] = uuidBytes(java.util.UUID.fromString(u))
+}
+
+/** HTTP content negotiation — the analog of the reference's
+  * `headerToConvertableFormat` (/root/reference/src/EncodeTools.ts:466-487):
+  * parse a Content-Type/Accept header value, strip parameters, and resolve
+  * the MIME type through the format maps, falling back to the caller's
+  * configured default when the header is absent or unknown.
+  */
+object ContentNegotiation {
+
+  val SerializationFormatMimeTypes: Map[String, String] = Map(
+    "json" -> "application/json",
+    "msgpack" -> "application/msgpack",
+    "cbor" -> "application/cbor"
+  )
+  val BinaryEncodingMimeTypes: Map[String, String] = Map(
+    "base64" -> "application/octet-stream",
+    "base64url" -> "application/octet-stream",
+    "hex" -> "text/plain",
+    "base32" -> "text/plain",
+    "ascii85" -> "text/plain"
+  )
+
+  /** mime (sans parameters, lowercased) from a raw header value like
+    * `application/JSON; charset=utf-8`.
+    */
+  def parseContentType(header: String): Option[String] =
+    Option(header).map(_.split(";")(0).trim.toLowerCase)
+      .filter(_.nonEmpty)
+
+  /** MIME -> format across serialization + image maps (first match wins,
+    * serialization first — same precedence as the reference).
+    */
+  def mimeToFormat(mime: String): Option[String] =
+    SerializationFormatMimeTypes.collectFirst { case (f, m) if m == mime => f }
+      .orElse(MediaOps.MimeFormat.get(mime))
+
+  /** Resolve `headers(key)` to a convertable format, or the fallback. */
+  def headerToFormat(
+      headers: Map[String, String],
+      key: String,
+      fallback: Option[String] = None
+  ): Option[String] = {
+    val h = headers.map { case (k, v) => k.toLowerCase -> v }
+    h.get(key.toLowerCase)
+      .flatMap(parseContentType)
+      .flatMap(mimeToFormat)
+      .orElse(fallback)
+  }
 }

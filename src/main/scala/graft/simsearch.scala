@@ -103,7 +103,8 @@ object SimSearch {
       count(lit(1)).as("n_buckets"),
       sum(when(col("bsz").between(2, maxBucket), 1L).otherwise(0L)).as("n_pair_buckets"),
       sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("n_oversized"),
-      sum(when(col("bsz") > maxBucket, col("bsz") * (col("bsz") - 1) / 2)
+      sum(when(col("bsz") > maxBucket,
+        (col("bsz") * (col("bsz") - 1) / 2).cast("long"))
         .otherwise(0L)).as("dropped_candidate_pairs"))
   }
 

@@ -2,53 +2,116 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import MediaOps.{ImageCodec, Resize, Crop, Brightness}
 
 class MediaOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   private def media = {
     import spark.implicits._
-    val df = Seq(
-      (1L, "payload-one-bytes"), (2L, "x"), (3L, "another fake image payload"))
-      .toDF("doc_id", "t")
-      .select(col("doc_id"), col("t").cast("binary").as("payload"))
-    MediaOps.withMetadata(df, col("payload"), lit("png"))
+    val png = udf((id: Long) => ImageCodec.synthPng(id))
+    Seq(1L, 2L, 35L).toDF("doc_id")
+      .select(col("doc_id"), png(col("doc_id")).as("payload"))
   }
 
-  test("metadata is deterministic and sane") {
-    val m1 = media.select("doc_id", "meta.width", "meta.height", "meta.n_bytes")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
-    val m2 = media.select("doc_id", "meta.width", "meta.height", "meta.n_bytes")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
-    assert(m1 == m2)
-    m1.foreach { case (_, w, h, n) =>
-      assert(w >= 64 && w < 64 + 1024 && h >= 64 && h < 64 + 1024 && n > 0)
+  test("metadata decodes REAL png header dims and format") {
+    val rows = MediaOps.withMetadata(media, col("payload"))
+      .select("doc_id", "meta.width", "meta.height", "meta.format", "meta.n_bytes")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4)))
+    rows.foreach { case (id, w, h, fmt, n) =>
+      assert(w == 16 + (id % 32).toInt, "closed-form synth width")
+      assert(h == 8 + (id % 16).toInt)
+      assert(fmt == "png")
+      assert(n > 0)
     }
   }
 
-  test("resize/crop/brightness/convert update metadata correctly") {
-    val out = MediaOps.convert(
-      MediaOps.adjustBrightness(
-        MediaOps.crop(MediaOps.resize(media, 256, 256), 200, 200, 128, 128),
-        -0.5),
-      "webp").select("meta.width", "meta.height", "meta.format").collect()
-    out.foreach { r =>
-      assert(r.getInt(0) == 56, "crop clamps to 256-200")
-      assert(r.getInt(1) == 56)
-      assert(r.getString(2) == "webp")
-    }
-    intercept[InvalidCodecException](MediaOps.convert(media, "bmp"))
+  test("png round-trip is pixel-exact; jpeg re-encode decodes to same dims") {
+    val img = ImageCodec.synthImage(7L)
+    val back = ImageCodec.decode(ImageCodec.encode(img, "png"))
+    assert(back.getWidth == img.getWidth && back.getHeight == img.getHeight)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      assert((back.getRGB(x, y) & 0xffffff) == (img.getRGB(x, y) & 0xffffff))
+    val j = ImageCodec.decode(ImageCodec.encode(img, "jpeg"))
+    assert(j.getWidth == img.getWidth && j.getHeight == img.getHeight)
+  }
+
+  test("resize/crop produce exact raster dims; crop clamps at the border") {
+    val img = ImageCodec.synthImage(3L) // 19 x 11
+    val r = MediaOps.applyOp(img, Resize(256, 128))
+    assert(r.getWidth == 256 && r.getHeight == 128)
+    val c = MediaOps.applyOp(r, Crop(200, 100, 128, 128))
+    assert(c.getWidth == 56 && c.getHeight == 28, "clamped to 256-200 x 128-100")
+    // crop content == source region
+    for (y <- 0 until 5; x <- 0 until 5)
+      assert(c.getRGB(x, y) == r.getRGB(200 + x, 100 + y))
+  }
+
+  test("brightness follows the Jimp curve per channel") {
+    val img = new java.awt.image.BufferedImage(1, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (100 << 16) | (200 << 8) | 0)
+    val up = MediaOps.applyOp(img, Brightness(0.5))
+    val p = up.getRGB(0, 0)
+    assert(((p >> 16) & 0xff) == 178, "100 + (255-100)*0.5 = 177.5 -> 178")
+    assert(((p >> 8) & 0xff) == 228)
+    assert((p & 0xff) == 128)
+    val down = MediaOps.applyOp(img, Brightness(-0.5))
+    val q = down.getRGB(0, 0)
+    assert(((q >> 16) & 0xff) == 50 && ((q >> 8) & 0xff) == 100 && (q & 0xff) == 0)
+  }
+
+  test("convert re-encodes to the target format; no-codec formats fail closed") {
+    val out = MediaOps.convert(media, "bmp")
+    val metas = MediaOps.withMetadata(out.select(col("doc_id"), col("payload")),
+      col("payload")).select("meta.format").collect()
+    metas.foreach(r => assert(r.getString(0) == "bmp"))
+    intercept[InvalidCodecException](MediaOps.convert(media, "webp"))
+    intercept[InvalidCodecException](MediaOps.convert(media, "flif"))
     intercept[IllegalArgumentException](MediaOps.adjustBrightness(media, 2.0))
   }
 
-  test("frame sampling + feature extraction shapes") {
-    val out = MediaOps.extractFeatures(MediaOps.sampleFrames(media, 4), dim = 8)
+  test("fused applyOps == chained single ops (one decode vs many)") {
+    val ops = Seq(Resize(64, 48), Crop(8, 8, 32, 16), Brightness(0.25))
+    val fused = MediaOps.applyOps(media, ops, Some("png"))
+      .select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val chained = MediaOps.convert(
+      MediaOps.adjustBrightness(
+        MediaOps.crop(MediaOps.resize(media, 64, 48), 8, 8, 32, 16), 0.25), "png")
+      .select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    fused.foreach { case (id, bytes) =>
+      // png is lossless -> identical pixels either way
+      val a = ImageCodec.decode(bytes)
+      val b = ImageCodec.decode(chained(id))
+      assert(a.getWidth == 32 && a.getHeight == 16)
+      for (y <- 0 until a.getHeight; x <- 0 until a.getWidth)
+        assert((a.getRGB(x, y) & 0xffffff) == (b.getRGB(x, y) & 0xffffff))
+    }
+  }
+
+  test("frame sampling + REAL thumbnail feature extraction shapes") {
+    val out = MediaOps.extractFeatures(MediaOps.sampleFrames(media, 4))
       .select("n_frames", "embedding").collect()
     out.foreach { r =>
       assert(r.getInt(0) == 4)
-      assert(r.getSeq[Float](1).length == 8)
-      r.getSeq[Float](1).foreach(f => assert(f >= -1f && f <= 1f))
+      val emb = r.getSeq[Float](1)
+      assert(emb.length == 16)
+      emb.foreach(f => assert(f >= 0f && f <= 1f))
+      assert(emb.distinct.length > 1, "real pixels -> non-constant descriptor")
     }
+  }
+
+  test("feature extraction matches a hand-computed mean on a flat image") {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+    import spark.implicits._
+    val df = Seq(1L).toDF("doc_id")
+      .withColumn("payload", udf(() => ImageCodec.encode(img, "png")).apply())
+    val emb = MediaOps.extractFeatures(df).select("embedding").head().getSeq[Float](0)
+    emb.foreach(v => assert(math.abs(v - 128f / 255f) < 1e-3))
   }
 
   test("mime maps are mutually inverse") {

@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SerialSpec extends AnyFunSuite {
+
+  private def hex(b: Array[Byte]): String = Encodings.hex(b)
+
+  // ---- msgpack: published spec examples (msgpack.org format spec) ----
+
+  test("msgpack wire vectors") {
+    assert(hex(MsgPack.pack(1L)) == "01")
+    assert(hex(MsgPack.pack(127L)) == "7f")
+    assert(hex(MsgPack.pack(-1L)) == "ff")
+    assert(hex(MsgPack.pack(-32L)) == "e0")
+    assert(hex(MsgPack.pack(128L)) == "cc80")
+    assert(hex(MsgPack.pack(256L)) == "cd0100")
+    assert(hex(MsgPack.pack(-33L)) == "d0df")
+    assert(hex(MsgPack.pack(null)) == "c0")
+    assert(hex(MsgPack.pack(true)) == "c3")
+    assert(hex(MsgPack.pack(false)) == "c2")
+    assert(hex(MsgPack.pack("abc")) == "a3616263")
+    assert(hex(MsgPack.pack(Seq(1L, 2L, 3L))) == "93010203")
+    // the msgpack.org homepage example: {"compact":true,"schema":0} -> 18 bytes
+    val home = MsgPack.pack(Map("compact" -> true, "schema" -> 0L))
+    assert(hex(home) == "82a7636f6d70616374c3a6736368656d6100")
+    assert(home.length == 18)
+  }
+
+  test("msgpack round-trips the full value model") {
+    val v = Map(
+      "id" -> 42L,
+      "name" -> "héllo ☃",
+      "ok" -> true,
+      "none" -> null,
+      "pi" -> 3.25,
+      "xs" -> Seq(1L, -2L, Seq("nested"), Map("k" -> "v")),
+      "big" -> 9007199254740993L,
+      "neg" -> -123456789012345L
+    )
+    assert(MsgPack.unpack(MsgPack.pack(v)) == v)
+  }
+
+  test("msgpack bin + long string/array/map length tiers") {
+    val bytes = Array.tabulate(300)(_.toByte)
+    assert(java.util.Arrays.equals(
+      MsgPack.unpack(MsgPack.pack(bytes)).asInstanceOf[Array[Byte]], bytes))
+    val longStr = "x" * 70000
+    assert(MsgPack.unpack(MsgPack.pack(longStr)) == longStr)
+    val bigArr = Vector.tabulate(20)(i => i.toLong)
+    assert(MsgPack.unpack(MsgPack.pack(bigArr)) == bigArr)
+    val bigMap = (0 until 20).map(i => s"k$i" -> i.toLong).toMap
+    assert(MsgPack.unpack(MsgPack.pack(bigMap)) == bigMap)
+  }
+
+  // ---- cbor: RFC 8949 appendix A vectors ----
+
+  test("cbor RFC 8949 appendix A vectors") {
+    assert(hex(Cbor.encode(0L)) == "00")
+    assert(hex(Cbor.encode(1L)) == "01")
+    assert(hex(Cbor.encode(10L)) == "0a")
+    assert(hex(Cbor.encode(23L)) == "17")
+    assert(hex(Cbor.encode(24L)) == "1818")
+    assert(hex(Cbor.encode(100L)) == "1864")
+    assert(hex(Cbor.encode(1000000L)) == "1a000f4240")
+    assert(hex(Cbor.encode(-1L)) == "20")
+    assert(hex(Cbor.encode(-10L)) == "29")
+    assert(hex(Cbor.encode(-100L)) == "3863")
+    assert(hex(Cbor.encode("a")) == "6161")
+    assert(hex(Cbor.encode("IETF")) == "6449455446")
+    assert(hex(Cbor.encode(Seq(1L, 2L, 3L))) == "83010203")
+    assert(hex(Cbor.encode(Map("a" -> 1L))) == "a1616101")
+    assert(hex(Cbor.encode(1.1)) == "fb3ff199999999999a")
+    assert(hex(Cbor.encode(true)) == "f5")
+    assert(hex(Cbor.encode(false)) == "f4")
+    assert(hex(Cbor.encode(null)) == "f6")
+    // "ü" (ü) -> 0x62c3bc
+    assert(hex(Cbor.encode("ü")) == "62c3bc")
+  }
+
+  test("cbor decodes RFC half-precision floats") {
+    // appendix A: 0xf93c00 = 1.0, 0xf9c400 = -4.0
+    assert(Cbor.decode(Encodings.unhex("f93c00")) == 1.0)
+    assert(Cbor.decode(Encodings.unhex("f9c400")) == -4.0)
+  }
+
+  test("cbor round-trips the full value model") {
+    val v = Map(
+      "id" -> 42L,
+      "name" -> "héllo ☃",
+      "ok" -> true,
+      "none" -> null,
+      "pi" -> 3.25,
+      "xs" -> Seq(1L, -2L, Seq("nested"), Map("k" -> "v")),
+      "bytes-free" -> "ascii"
+    )
+    assert(Cbor.decode(Cbor.encode(v)) == v)
+    val bytes = Array.tabulate(300)(_.toByte)
+    assert(java.util.Arrays.equals(
+      Cbor.decode(Cbor.encode(bytes)).asInstanceOf[Array[Byte]], bytes))
+  }
+
+  // ---- dispatch + json ----
+
+  test("serialization dispatch round-trips every format") {
+    val v = Map("a" -> 1L, "b" -> Seq("x", "y"), "c" -> Map("d" -> true))
+    Seq("json", "msgpack", "cbor").foreach { f =>
+      assert(Serialization.deserialize(f, Serialization.serialize(f, v)) == v,
+        s"format $f")
+    }
+    intercept[InvalidCodecException](Serialization.serialize("bson", v))
+    intercept[InvalidCodecException](Serialization.deserialize("xml", Array[Byte](1)))
+  }
+
+  test("json value model: escapes, numbers, nesting") {
+    val v = Map("s" -> "a\"b\\c\nd\tef", "n" -> -17L, "d" -> 2.5,
+      "xs" -> Seq(1L, 2L), "m" -> Map("k" -> null))
+    assert(JsonValue.parse(JsonValue.render(v)) == v)
+    assert(JsonValue.render(Map.empty[String, Any]) == "{}")
+    assert(JsonValue.parse("[]") == Vector.empty)
+    assert(JsonValue.parse("  {\"a\": [1, 2.5, true, null]} ") ==
+      Map("a" -> Vector(1L, 2.5, true, null)))
+  }
+
+  test("msgpack/cbor property: random values round-trip") {
+    val rng = new scala.util.Random(7)
+    def randValue(depth: Int): Any = rng.nextInt(if (depth > 2) 5 else 8) match {
+      case 0 => rng.nextLong()
+      case 1 => rng.nextString(rng.nextInt(40))
+      case 2 => rng.nextBoolean()
+      case 3 => null
+      case 4 => rng.nextDouble()
+      case 5 => Vector.fill(rng.nextInt(5))(randValue(depth + 1))
+      case 6 => (0 until rng.nextInt(5)).map(i => s"k$i" -> randValue(depth + 1)).toMap
+      case 7 => rng.nextLong().toString.getBytes("UTF-8")
+    }
+    (1 to 200).foreach { _ =>
+      val v = randValue(0)
+      def norm(x: Any): Any = x match {
+        case b: Array[Byte] => b.toSeq
+        case s: Seq[_] => s.map(norm)
+        case m: Map[_, _] => m.map { case (k, y) => (k, norm(y)) }
+        case other => other
+      }
+      assert(norm(MsgPack.unpack(MsgPack.pack(v))) == norm(v))
+      assert(norm(Cbor.decode(Cbor.encode(v))) == norm(v))
+    }
+  }
+}
