@@ -116,10 +116,24 @@ object Bench {
     atCores(24, 2); atCores(8, 2); atCores(2, 1)
     // interleave the N / 4N sessions so machine-state drift (page cache,
     // JIT tiers, background load) spreads evenly across both levels;
-    // min over all reps per level = steady-state proxy
-    val pairRuns = (1 to 3).map { _ => (atCores(2, 2), atCores(8, 2)) }
-    val (sec2, toks2, _, _, _) = pairRuns.map(_._1).minBy(_._1)
-    val (sec8, toks8, _, _, _) = pairRuns.map(_._2).minBy(_._1)
+    // min over all reps per level = steady-state proxy. Rounds continue
+    // (up to 6) until BOTH per-level minima have stopped improving — the
+    // min is monotone, so extra rounds only refine it, never bias it.
+    var best2 = atCores(2, 2)
+    var best8 = atCores(8, 2)
+    var stable = 0
+    var rounds = 0
+    while (rounds < 4 && stable < 2) {
+      val r2 = atCores(2, 2)
+      val r8 = atCores(8, 2)
+      val improved = r2._1 < best2._1 || r8._1 < best8._1
+      if (r2._1 < best2._1) best2 = r2
+      if (r8._1 < best8._1) best8 = r8
+      stable = if (improved) 0 else stable + 1
+      rounds += 1
+    }
+    val (sec2, toks2, _, _, _) = best2
+    val (sec8, toks8, _, _, _) = best8
     val (sec24, toks24, raw24, enc24, mix) = atCores(24, 6)
     val thr2 = toks2 / sec2 / 1e6
     val thr8 = toks8 / sec8 / 1e6
@@ -176,17 +190,22 @@ object Bench {
     val mixJson = mix.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       f""""encode_mtok_s_local2":$thr2%.1f,"encode_mtok_s_local8":$thr8%.1f,""" +
       f""""encode_mtok_s_local24":$thr24%.1f,""" +
       f""""scaling_efficiency":$scalingEff%.3f,""" +
+      s""""scaling_pair":"local[2]->local[8] (N->4N cores, below the single-box memory-bandwidth ceiling)",""" +
       f""""scaling_efficiency_8to24":$scalingEff8to24%.3f,""" +
       f""""compression_ratio":$ratio%.3f,""" +
       f""""decode_mtok_s_local24":$thrDec%.1f,""" +
       f""""part_tokens_max_over_avg":$skewMaxOverAvg%.2f,""" +
       f""""plan_sec":$planSec%.2f,""" +
       s""""bench_tokens":$toks24,"raw_bytes":$raw24,"encoded_bytes":$enc24,""" +
-      s""""codec_mix":$mixJson}""")
+      s""""codec_mix":$mixJson}"""
+    // the contract line (fork + StdoutOutput => no sbt prefix) plus a file
+    // copy so the driver can parse either way
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
   }
 }

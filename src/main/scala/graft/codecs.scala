@@ -24,6 +24,34 @@ trait TokenCodec extends Serializable {
   def decode(bytes: Array[Byte], n: Int): Array[Int]
 }
 
+/** Codecs whose encoding factors into (symbol table, body). The engine
+  * stores the table in its own Parquet column and reuses a trained table
+  * across consecutive blocks of one partition (SURVEY §7.3's deferred
+  * table-level reuse): identical table bytes dictionary-deduplicate inside
+  * Parquet row groups (stored once per run of blocks), while every block
+  * row still carries its table — independently decodable, so pruned range
+  * reads never need a second lookup. Training is also the dominant encode
+  * CPU for fsst, so reuse buys throughput as well as ratio.
+  */
+trait TableCodec extends TokenCodec {
+  type Table <: AnyRef
+
+  def train(tokens: Array[Int]): Table
+  def tableBytes(t: Table): Array[Byte]
+  def tableFromBytes(b: Array[Byte]): Table
+
+  /** Encode with an existing table; None when the table cannot express
+    * this block (e.g. dictionary miss) — caller retrains.
+    */
+  def encodeWith(t: Table, tokens: Array[Int]): Option[Array[Byte]]
+  def decodeWith(tableB: Array[Byte], body: Array[Byte], n: Int): Array[Int]
+
+  /** Quick should-we-retrain heuristic given the cached table and the new
+    * block's stats (avoids paying a doomed encodeWith attempt).
+    */
+  def reusable(t: Table, s: BlockStats): Boolean
+}
+
 /** Verbatim little-endian int32 — the identity codec, analog of
   * `BinaryEncoding.nodeBuffer` (/root/reference/src/EncodeTools.ts:786).
   * Always applicable; the cost model's fallback and upper bound.
@@ -149,11 +177,14 @@ object RleCodec extends TokenCodec {
 
 /** Dictionary encoding: sorted distinct values stored as delta varints, then
   * dense codes bit-packed at ceil(log2(|dict|)) bits. Layout:
-  * [dictSize varint][first zigzag-varint][delta varints...][width:u8][codes].
+  * [dictSize varint][first zigzag-varint][delta varints...][width:u8][codes],
+  * where the first segment is the reusable TABLE and the rest the BODY.
   */
-object DictCodec extends TokenCodec {
+object DictCodec extends TableCodec {
   val id = 4; val name = "dict"
   val MaxDict = 1 << 20
+  type Table = Array[Int] // sorted distinct values
+
   override def applicable(s: BlockStats): Boolean = s.distinctExact
   def estimate(s: BlockStats): Long =
     if (!s.distinctExact) Long.MaxValue
@@ -161,9 +192,9 @@ object DictCodec extends TokenCodec {
       val w = if (s.distinct <= 1) 0 else bitsNeeded(s.distinct - 1)
       4L + 3L * s.distinct + 1L + packedSize(s.n, w)
     }
-  def encode(tokens: Array[Int]): Array[Byte] = {
-    // sort a copy, dedupe in place -> sorted dict; codes via binary search
-    // (boxing-free, n log d)
+
+  def train(tokens: Array[Int]): Array[Int] = {
+    // sort a copy, dedupe in place -> sorted dict (boxing-free)
     val sorted = tokens.clone()
     java.util.Arrays.sort(sorted)
     var d = 0
@@ -173,31 +204,30 @@ object DictCodec extends TokenCodec {
       i += 1
     }
     require(d <= MaxDict, s"dict too large: $d")
-    val dict = java.util.Arrays.copyOf(sorted, d)
-    val codes = new Array[Int](tokens.length)
-    i = 0
-    while (i < tokens.length) {
-      codes(i) = java.util.Arrays.binarySearch(dict, tokens(i))
-      i += 1
-    }
-    val w = if (dict.length <= 1) 0 else bitsNeeded(dict.length - 1)
-    val out = new Array[Byte](10 + 10 * dict.length + 1 +
-      packedSize(tokens.length, w))
+    java.util.Arrays.copyOf(sorted, d)
+  }
+
+  def tableBytes(dict: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](10 + 10 * dict.length)
     var pos = writeVarint(out, 0, dict.length.toLong)
     if (dict.nonEmpty) {
       pos = writeVarint(out, pos, zigzag(dict(0)))
-      i = 1
+      var i = 1
       while (i < dict.length) {
         pos = writeVarint(out, pos, (dict(i).toLong - dict(i - 1).toLong))
         i += 1
       }
     }
-    out(pos) = w.toByte; pos += 1
-    pos += pack(codes, 0, codes.length, w, out, pos)
     java.util.Arrays.copyOf(out, pos)
   }
-  def decode(bytes: Array[Byte], n: Int): Array[Int] = {
+
+  def tableFromBytes(b: Array[Byte]): Array[Int] = {
     val cur = new Cursor(0)
+    val dict = readTable(b, cur)
+    dict
+  }
+
+  private def readTable(bytes: Array[Byte], cur: Cursor): Array[Int] = {
     val dictSize = readVarint(bytes, cur).toInt
     val dict = new Array[Int](dictSize)
     if (dictSize > 0) {
@@ -208,6 +238,56 @@ object DictCodec extends TokenCodec {
         i += 1
       }
     }
+    dict
+  }
+
+  def encodeWith(dict: Array[Int], tokens: Array[Int]): Option[Array[Byte]] = {
+    val codes = new Array[Int](tokens.length)
+    var i = 0
+    while (i < tokens.length) {
+      val c = java.util.Arrays.binarySearch(dict, tokens(i))
+      if (c < 0) return None // value outside the cached dictionary
+      codes(i) = c
+      i += 1
+    }
+    val w = if (dict.length <= 1) 0 else bitsNeeded(dict.length - 1)
+    val out = new Array[Byte](1 + packedSize(tokens.length, w))
+    out(0) = w.toByte
+    pack(codes, 0, codes.length, w, out, 1)
+    Some(out)
+  }
+
+  def decodeWith(tableB: Array[Byte], body: Array[Byte], n: Int): Array[Int] = {
+    val dict = tableFromBytes(tableB)
+    val w = body(0) & 0xff
+    val codes = new Array[Int](n)
+    unpack(body, 1, n, w, codes, 0)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = dict(codes(i)); i += 1 }
+    out
+  }
+
+  def reusable(dict: Array[Int], s: BlockStats): Boolean =
+    dict.nonEmpty && s.min >= dict(0) && s.max <= dict(dict.length - 1) &&
+      // reuse must not widen the per-code bit width at all: +1 bit on the
+      // codes costs ~8% of the body to save a ~4% table — a losing trade
+      bitsNeeded(math.max(dict.length - 1, 1)) <=
+        bitsNeeded(math.max(s.distinct - 1, 1))
+
+  def encode(tokens: Array[Int]): Array[Byte] = {
+    val dict = train(tokens)
+    val t = tableBytes(dict)
+    val b = encodeWith(dict, tokens).get
+    val out = new Array[Byte](t.length + b.length)
+    System.arraycopy(t, 0, out, 0, t.length)
+    System.arraycopy(b, 0, out, t.length, b.length)
+    out
+  }
+
+  def decode(bytes: Array[Byte], n: Int): Array[Int] = {
+    val cur = new Cursor(0)
+    val dict = readTable(bytes, cur)
     val w = bytes(cur.pos) & 0xff; cur.pos += 1
     val codes = new Array[Int](n)
     unpack(bytes, cur.pos, n, w, codes, 0)
@@ -229,12 +309,20 @@ object DictCodec extends TokenCodec {
   *         [mergedLen varint][DictCodec bytes of merged stream].
   * Symbol s (0-based) is referenced in streams/pairs as SymbolBase + s.
   */
-object FsstCodec extends TokenCodec {
+object FsstCodec extends TableCodec {
   val id = 5; val name = "fsst"
   val SymbolBase: Int = 1 << 28
   val MaxRounds = 6
   val PairsPerRound = 96
   val MinPairFreq = 4
+
+  /** Trained pair-merge symbol table: symbol s = (left(s), right(s)),
+    * operands are tokens or earlier symbols (SymbolBase + idx).
+    */
+  final case class FsstTable(left: Array[Int], right: Array[Int]) {
+    def size: Int = left.length
+  }
+  type Table = FsstTable
 
   override def applicable(s: BlockStats): Boolean =
     s.min >= 0 && s.max < SymbolBase && s.distinctExact
@@ -255,6 +343,104 @@ object FsstCodec extends TokenCodec {
   }
 
   def encode(tokens: Array[Int]): Array[Byte] = {
+    val (table, merged) = trainAndMerge(tokens)
+    val t = tableBytes(table)
+    val b = bodyOf(merged)
+    val out = new Array[Byte](t.length + b.length)
+    System.arraycopy(t, 0, out, 0, t.length)
+    System.arraycopy(b, 0, out, t.length, b.length)
+    out
+  }
+
+  def train(tokens: Array[Int]): FsstTable = trainAndMerge(tokens)._1
+
+  def tableBytes(t: FsstTable): Array[Byte] = {
+    val out = new Array[Byte](10 + 10 * t.size)
+    var pos = writeVarint(out, 0, t.size.toLong)
+    var s = 0
+    while (s < t.size) {
+      pos = writeVarint(out, pos, t.left(s).toLong)
+      pos = writeVarint(out, pos, t.right(s).toLong)
+      s += 1
+    }
+    java.util.Arrays.copyOf(out, pos)
+  }
+
+  def tableFromBytes(b: Array[Byte]): FsstTable = {
+    val cur = new Cursor(0)
+    tableFrom(b, cur)
+  }
+
+  private def tableFrom(bytes: Array[Byte], cur: Cursor): FsstTable = {
+    val nSym = readVarint(bytes, cur).toInt
+    val left = new Array[Int](nSym)
+    val right = new Array[Int](nSym)
+    var s = 0
+    while (s < nSym) {
+      left(s) = readVarint(bytes, cur).toInt
+      right(s) = readVarint(bytes, cur).toInt
+      s += 1
+    }
+    FsstTable(left, right)
+  }
+
+  private def bodyOf(merged: Array[Int]): Array[Byte] = {
+    val dictB = DictCodec.encode(merged)
+    val out = new Array[Byte](10 + dictB.length)
+    var pos = writeVarint(out, 0, merged.length.toLong)
+    System.arraycopy(dictB, 0, out, pos, dictB.length)
+    java.util.Arrays.copyOf(out, pos + dictB.length)
+  }
+
+  /** Re-encode a new block with an already-trained table: skip the bigram
+    * counting + top-K rounds (the dominant encode CPU) and just replay
+    * greedy non-overlapping replacement passes until fixpoint. Always
+    * succeeds for fsst-applicable blocks — a poorly matching table only
+    * costs ratio, never correctness (caller retrains periodically).
+    */
+  def encodeWith(t: FsstTable, tokens: Array[Int]): Option[Array[Byte]] = {
+    val pairMap = new LongIntMap(math.max(t.size * 4, 16))
+    var s = 0
+    while (s < t.size) {
+      val key = (t.left(s).toLong << 32) | (t.right(s).toLong & 0xffffffffL)
+      pairMap.addTo(key, SymbolBase + s)
+      s += 1
+    }
+    var stream = tokens
+    var passes = 0
+    var replaced = true
+    while (replaced && passes < MaxRounds + 2) {
+      val out = new Array[Int](stream.length)
+      var o = 0
+      var i = 0
+      while (i < stream.length) {
+        if (i + 1 < stream.length) {
+          val key = (stream(i).toLong << 32) | (stream(i + 1).toLong & 0xffffffffL)
+          val sym = pairMap.get(key, -1)
+          if (sym >= 0) { out(o) = sym; o += 1; i += 2 }
+          else { out(o) = stream(i); o += 1; i += 1 }
+        } else { out(o) = stream(i); o += 1; i += 1 }
+      }
+      replaced = o < stream.length
+      stream = java.util.Arrays.copyOf(out, o)
+      passes += 1
+    }
+    Some(bodyOf(stream))
+  }
+
+  def decodeWith(tableB: Array[Byte], body: Array[Byte], n: Int): Array[Int] = {
+    val t = tableFromBytes(tableB)
+    val cur = new Cursor(0)
+    val mergedLen = readVarint(body, cur).toInt
+    val dictB = java.util.Arrays.copyOfRange(body, cur.pos, body.length)
+    val merged = DictCodec.decode(dictB, mergedLen)
+    expand(t.left, t.right, merged, n)
+  }
+
+  def reusable(t: FsstTable, s: BlockStats): Boolean =
+    s.min >= 0 && s.max < SymbolBase
+
+  private def trainAndMerge(tokens: Array[Int]): (FsstTable, Array[Int]) = {
     var stream = tokens
     val symLeft = new java.util.ArrayList[Integer]()
     val symRight = new java.util.ArrayList[Integer]()
@@ -337,41 +523,36 @@ object FsstCodec extends TokenCodec {
       round += 1
     }
     val nSym = symLeft.size()
-    val body = DictCodec.encode(stream)
-    val out = new Array[Byte](10 + 10 * nSym + 10 + body.length)
-    var pos = writeVarint(out, 0, nSym.toLong)
-    var s = 0
-    while (s < nSym) {
-      pos = writeVarint(out, pos, symLeft.get(s).toLong)
-      pos = writeVarint(out, pos, symRight.get(s).toLong)
-      s += 1
-    }
-    pos = writeVarint(out, pos, stream.length.toLong)
-    System.arraycopy(body, 0, out, pos, body.length)
-    java.util.Arrays.copyOf(out, pos + body.length)
-  }
-
-  def decode(bytes: Array[Byte], n: Int): Array[Int] = {
-    val cur = new Cursor(0)
-    val nSym = readVarint(bytes, cur).toInt
     val left = new Array[Int](nSym)
     val right = new Array[Int](nSym)
     var s = 0
     while (s < nSym) {
-      left(s) = readVarint(bytes, cur).toInt
-      right(s) = readVarint(bytes, cur).toInt
+      left(s) = symLeft.get(s)
+      right(s) = symRight.get(s)
       s += 1
     }
+    (FsstTable(left, right), stream)
+  }
+
+  def decode(bytes: Array[Byte], n: Int): Array[Int] = {
+    val cur = new Cursor(0)
+    val t = tableFrom(bytes, cur)
     val mergedLen = readVarint(bytes, cur).toInt
     val body = java.util.Arrays.copyOfRange(bytes, cur.pos, bytes.length)
     val merged = DictCodec.decode(body, mergedLen)
+    expand(t.left, t.right, merged, n)
+  }
+
+  /** Iterative symbol expansion with an explicit stack (symbols reference
+    * earlier symbols; depth bounded by MaxRounds).
+    */
+  private def expand(left: Array[Int], right: Array[Int],
+                     merged: Array[Int], n: Int): Array[Int] = {
     val out = new Array[Int](n)
     var o = 0
-    // iterative expansion with an explicit stack (symbols reference earlier
-    // symbols; depth bounded by MaxRounds)
     val stack = new Array[Int](64)
     var i = 0
-    while (i < mergedLen) {
+    while (i < merged.length) {
       var top = 0
       stack(top) = merged(i); top += 1
       while (top > 0) {

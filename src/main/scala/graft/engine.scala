@@ -155,12 +155,26 @@ object BlockEncoder {
     * doc_id), into blocks of ~opts.blockTokens tokens and encodes each.
     * Lazy: holds at most one block of rows in memory.
     */
+  /** Cross-block trained-table cache, one per task partition: consecutive
+    * blocks reuse the previous dict/fsst table when the quality guard
+    * allows, making their `symtab` column bytes identical (Parquet then
+    * stores the table once per row group) and skipping fsst's training
+    * rounds — the dominant fsst encode CPU.
+    */
+  final class TableCache {
+    var codecName: String = _
+    var table: AnyRef = _
+    var tBytes: Array[Byte] = _
+    var blocksSinceTrain: Int = 0
+  }
+
   def encodePartition(
       it: Iterator[(Int, TokenRow)],
       opts: EncodeOptions
   ): Iterator[EncodedBlock] = new Iterator[EncodedBlock] {
     private val buf = it.buffered
     private var blockSeq = 0L
+    private val cache = new TableCache
     def hasNext: Boolean = buf.hasNext
     def next(): EncodedBlock = {
       val partId = buf.head._1
@@ -175,7 +189,24 @@ object BlockEncoder {
       val taskPart = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
       val bid = (taskPart.toLong << 40) | blockSeq
       blockSeq += 1
-      encodeBlock(partId, bid, rows.toArray, opts)
+      encodeBlock(partId, bid, rows.toArray, opts, cache)
+    }
+  }
+
+  /** Attempt a reuse encode against the cached table; None forces retrain.
+    * The 1.25x estimate guard keeps a stale table from silently bloating
+    * blocks (fsst reuse always "succeeds" structurally; only ratio decays).
+    */
+  private def tryCached(tc: TableCodec, cache: TableCache, flat: Array[Int],
+                        st: BlockStats): Option[Array[Byte]] = {
+    val t = cache.table.asInstanceOf[tc.Table]
+    if (!tc.reusable(t, st)) None
+    else tc.encodeWith(t, flat) match {
+      // accept reuse only while the stale-table body stays within ~12% of
+      // the cost model's fresh-train forecast; beyond that the ratio loss
+      // outweighs the amortized table + training CPU
+      case Some(body) if body.length.toLong * 8 <= tc.estimate(st) * 9 => Some(body)
+      case _ => None
     }
   }
 
@@ -183,7 +214,8 @@ object BlockEncoder {
       partId: Int,
       blockId: Long,
       rows: Array[TokenRow],
-      opts: EncodeOptions
+      opts: EncodeOptions,
+      cache: TableCache = new TableCache
   ): EncodedBlock = {
     val t0 = System.nanoTime()
     val nTok = rows.iterator.map(_.tokens.length.toLong).sum
@@ -195,8 +227,34 @@ object BlockEncoder {
     }
     val st = Analyzer.stats(flat)
     val codec = Analyzer.select(st, opts.codecPolicy)
-    val codecBytes = codec.encode(flat)
+    val (codecBytes, symtab0, newTable) = codec match {
+      case tc: TableCodec if opts.tableReuse =>
+        val reused =
+          if (cache.codecName == tc.name && cache.table != null &&
+            cache.blocksSinceTrain < opts.retrainEvery)
+            tryCached(tc, cache, flat, st)
+          else None
+        reused match {
+          case Some(body) =>
+            cache.blocksSinceTrain += 1
+            (body, cache.tBytes, false)
+          case None =>
+            val t = tc.train(flat)
+            val tb = tc.tableBytes(t)
+            val body = tc.encodeWith(t, flat).getOrElse(
+              throw new IllegalStateException(s"${tc.name}: fresh table must encode"))
+            cache.codecName = tc.name
+            cache.table = t
+            cache.tBytes = tb
+            cache.blocksSinceTrain = 0
+            (body, tb, true)
+        }
+      case c => (c.encode(flat), Array.emptyByteArray, false)
+    }
     val (payload0, outer0) = Zframe.frame(codecBytes, opts.zstdLevel)
+    // effective storage cost of this block: framed body + the table IF this
+    // block is the one introducing it (reused tables parquet-dedupe to ~0)
+    val effective0 = payload0.length.toLong + (if (newTable) symtab0.length else 0)
     // Size bound vs the reference comparator (zstd/lzma over the plain
     // canonical bytes, /root/reference/src/EncodeTools.ts:1600-1661).
     // Default: a CPU-cheap heuristic — when the lightweight codec's framed
@@ -206,14 +264,15 @@ object BlockEncoder {
     // the fixture). opts.strictSizeBound=true instead compares EVERY block
     // against zstd(plain), making `encoded_bytes <= zstd(plain)` a hard
     // per-block guarantee at ~10-15% extra encode CPU.
-    val (payload, outer, codecName) =
+    val (payload, outer, codecName, symtab, effective) =
       if (opts.codecPolicy == "auto" && codec != PlainCodec &&
         (opts.strictSizeBound ||
-          payload0.length.toLong * 20 > 7L * flat.length * 4)) {
+          effective0 * 20 > 7L * flat.length * 4)) {
         val (pp, po) = Zframe.frame(PlainCodec.encode(flat), opts.zstdLevel)
-        if (pp.length < payload0.length) (pp, po, PlainCodec.name)
-        else (payload0, outer0, codec.name)
-      } else (payload0, outer0, codec.name)
+        if (pp.length < effective0)
+          (pp, po, PlainCodec.name, Array.emptyByteArray, pp.length.toLong)
+        else (payload0, outer0, codec.name, symtab0, effective0)
+      } else (payload0, outer0, codec.name, symtab0, effective0)
     val checksum = Checksum.blockChecksumFlat(rows.map(_.tokens.length), flat)
     val micros = (System.nanoTime() - t0) / 1000
     EncodedBlock(
@@ -224,13 +283,14 @@ object BlockEncoder {
       n_docs = rows.length,
       n_tokens = nTok,
       raw_bytes = 4L * nTok + 4L * rows.length,
-      encoded_bytes = payload.length.toLong,
+      encoded_bytes = effective,
       first_doc_id = rows.head.doc_id,
       last_doc_id = rows.last.doc_id,
       doc_ids = rows.map(_.doc_id),
       n_toks = rows.map(_.n_tok),
       sources = rows.map(_.source),
       payload = payload,
+      symtab = symtab,
       checksum = checksum,
       enc_micros = micros
     )
@@ -238,7 +298,14 @@ object BlockEncoder {
 
   def decodeBlock(b: EncodedBlock, verify: Boolean): Iterator[TokenRow] = {
     val codecBytes = Zframe.unframe(b.payload, b.outer)
-    val flat = CodecRegistry.decode(b.codec, codecBytes, b.n_tokens.toInt)
+    val flat =
+      if (b.symtab != null && b.symtab.nonEmpty)
+        CodecRegistry.byName(b.codec) match {
+          case tc: TableCodec => tc.decodeWith(b.symtab, codecBytes, b.n_tokens.toInt)
+          case other => throw new InvalidCodecException(
+            s"block ${b.block_id}: codec '${other.name}' cannot carry a symtab")
+        }
+      else CodecRegistry.decode(b.codec, codecBytes, b.n_tokens.toInt)
     if (verify) {
       val ck = Checksum.blockChecksumFlat(b.n_toks, flat)
       require(ck == b.checksum,

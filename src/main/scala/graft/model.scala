@@ -25,6 +25,12 @@ final case class TokenRow(
   * Row-reconstruction metadata (doc_ids, per-row token counts, sources) is
   * kept in real columns, not inside the payload, so Parquet
   * dictionary/RLE-encodes it and decode never parses bytes to find rows.
+  *
+  * `symtab` carries the dict/fsst symbol table SEPARATELY from the payload:
+  * consecutive blocks of a partition reuse one trained table (byte-identical
+  * column values), which Parquet dictionary-encoding stores once per row
+  * group — table-level reuse without sacrificing per-block independent
+  * decode. Empty for table-less codecs.
   */
 final case class EncodedBlock(
     part_id: Int,
@@ -41,6 +47,7 @@ final case class EncodedBlock(
     n_toks: Array[Int],
     sources: Array[String],
     payload: Array[Byte],
+    symtab: Array[Byte], // reusable codec symbol table ([] = self-contained)
     checksum: Long, // XXH64(seed=42) over the canonical block bytes
     enc_micros: Long
 )
@@ -65,6 +72,13 @@ final case class EncodedBlock(
   *                     guarantee at ~10-15% encode CPU cost; off by default
   *                     (the cost model's 35%-of-raw heuristic already wins
   *                     in aggregate, see EngineSpec)
+  * @param tableReuse   reuse one trained dict/fsst symbol table across
+  *                     consecutive blocks of a partition (identical symtab
+  *                     column bytes -> Parquet stores the table once per
+  *                     row group; fsst skips its training rounds). Reuse is
+  *                     quality-guarded and retrained at least every
+  *                     `retrainEvery` blocks
+  * @param retrainEvery upper bound on blocks encoded from one trained table
   */
 final case class EncodeOptions(
     codecPolicy: String = "auto",
@@ -72,7 +86,9 @@ final case class EncodeOptions(
     blockTokens: Int = 1 << 17,
     numParts: Int = 32,
     sampleMod: Int = 0,
-    strictSizeBound: Boolean = false
+    strictSizeBound: Boolean = false,
+    tableReuse: Boolean = true,
+    retrainEvery: Int = 16
 ) extends Serializable
 
 object EncodeOptions {
