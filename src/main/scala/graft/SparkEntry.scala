@@ -132,6 +132,25 @@ object SparkEntry {
           col("n_tok"))
         .orderBy(col("doc_id"), col("toks"))
     }),
+    "enc_strict_bound" -> ((s, dir) => {
+      // strictSizeBound mode: EVERY block provably <= zstd(plain canonical
+      // bytes); the round-trip digest proves the mode changes nothing
+      // semantically (the bound assert itself lives in EngineSpec)
+      val input = TokenTables.fromLineitem(s, dir)
+      val comp = TokenCompressor(EncodeOptions(numParts = 8, strictSizeBound = true))
+      TokenTables.digest(comp.decode(comp.encode(input))).orderBy("doc_id")
+    }),
+    "stream_ingest" -> ((s, dir) => {
+      // Structured Streaming ingestion end-to-end: file stream -> per-batch
+      // block encode -> snapshot commit -> committed-only read-back; the
+      // decoded digest must equal the batch oracle exactly
+      val tmpIn = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+      val table = java.nio.file.Files.createTempDirectory("graft_stream_tbl").toString
+      TokenTables.fromLineitem(s, dir).write.mode("overwrite").parquet(tmpIn)
+      val q = StreamingEncode.start(s, tmpIn, table, EncodeOptions(numParts = 4))
+      q.awaitTermination()
+      TokenTables.digest(StreamingEncode.readDecoded(s, table)).orderBy("doc_id")
+    }),
     "enc_range_read" -> ((s, dir) => {
       // encode to a manifest table, then a pruned doc_id-range read
       // (partition + block min/max pruning before any payload decode)
@@ -182,6 +201,14 @@ object SparkEntry {
       val u = udf((t: String) => Encodings.hex(
         java.security.MessageDigest.getInstance("SHA3-512").digest(t.getBytes("UTF-8"))))
       vectorDf(s).select(col("i"), u(col("t")).as("h")).orderBy("i")
+    }),
+    "h_dispatch" -> ((s, dir) => {
+      // the one-dispatcher surface (reference hashString enum dispatch):
+      // every implemented algorithm over the canonical "abc" vector
+      import s.implicits._
+      val u = udf((algo: String) => Hashing.hashString(algo, "abc".getBytes("UTF-8")))
+      Hashing.Algorithms.toDF("algo")
+        .select(col("algo"), u(col("algo")).as("h")).orderBy("algo")
     }),
     "h_hashobject" -> ((s, dir) => {
       // canonicalize-then-digest (reference hashObject semantics) via the
@@ -535,6 +562,8 @@ object SparkEntry {
       "enc_roundtrip_rle" -> digestOracle,
       "enc_roundtrip_dict" -> digestOracle,
       "enc_roundtrip_fsst" -> digestOracle,
+      "enc_strict_bound" -> digestOracle,
+      "stream_ingest" -> digestOracle,
       "enc_tokens_full" ->
         """SELECT
           |  lpad(cast(l_orderkey as varchar), 10, '0') || '-' ||
@@ -554,6 +583,17 @@ object SparkEntry {
           |  cast(36 * count(*) as bigint) AS raw_bytes,
           |  true AS smaller, true AS has_blocks
           |FROM lineitem""".stripMargin,
+      "h_dispatch" ->
+        """SELECT * FROM (VALUES
+          |  ('crc32', '891568578'),
+          |  ('md5', '900150983cd24fb0d6963f7d28e17f72'),
+          |  ('sha1', 'a9993e364706816aba3e25717850c26c9cd0d89d'),
+          |  ('sha256', 'ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad'),
+          |  ('sha3', 'b751850b1a57168a5693cd924b6b096e08f621827444f70d884f5d0240d2712e10e116e9192af3c91a7ec57647e3934057340b4cf408d5a56592f8274eec53f0'),
+          |  ('sha512', 'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f'),
+          |  ('xxhash32', '852579327'),
+          |  ('xxhash64', '1423657621850124518')) AS t(algo, h)
+          |ORDER BY algo""".stripMargin,
       "h_md5" -> "SELECT doc_id, md5(text) AS h FROM documents ORDER BY doc_id",
       "h_sha256" -> "SELECT doc_id, sha256(text) AS h FROM documents ORDER BY doc_id",
       // NIST/RFC vectors via python hashlib (sha1/sha512/sha3-512) and zlib

@@ -256,3 +256,32 @@ object Checksum {
     st.digest()
   }
 }
+
+/** One hash dispatcher across the whole implemented algorithm family — the
+  * analog of the reference's `hash`/`hashString` enum dispatch
+  * (/root/reference/src/EncodeTools.ts:883-956, HashAlgorithm at :122-158).
+  * Unknown algorithms fail closed like the reference's InvalidFormat.
+  * bcrypt stays out of scope (password KDF, not a data digest — SURVEY §2.2);
+  * xxhash3 has no JVM implementation in this sandbox's jars.
+  */
+object Hashing {
+  val Algorithms: Seq[String] =
+    Seq("crc32", "md5", "sha1", "sha256", "sha512", "sha3", "xxhash32", "xxhash64")
+
+  /** Digest as the reference's hashString: hex for cryptographic digests,
+    * decimal string for the integer checksums (crc32/xxhash), matching the
+    * reference's number-or-buffer duality.
+    */
+  def hashString(algo: String, data: Array[Byte]): String = algo match {
+    case "crc32" =>
+      val c = new java.util.zip.CRC32(); c.update(data); c.getValue.toString
+    case "md5" => Encodings.hex(java.security.MessageDigest.getInstance("MD5").digest(data))
+    case "sha1" => Encodings.hex(java.security.MessageDigest.getInstance("SHA-1").digest(data))
+    case "sha256" => Encodings.hex(java.security.MessageDigest.getInstance("SHA-256").digest(data))
+    case "sha512" => Encodings.hex(java.security.MessageDigest.getInstance("SHA-512").digest(data))
+    case "sha3" => Encodings.hex(java.security.MessageDigest.getInstance("SHA3-512").digest(data))
+    case "xxhash32" => Checksum.xxh32(data).toString
+    case "xxhash64" => Checksum.xxh64(data).toString
+    case other => throw new InvalidCodecException(s"unknown hash algorithm '$other'")
+  }
+}

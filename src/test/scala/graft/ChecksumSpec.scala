@@ -85,4 +85,24 @@ class ChecksumSpec extends AnyFunSuite {
     val b = Checksum.blockChecksum(rows.map(_.clone()))
     assert(a == b)
   }
+
+  test("Hashing dispatch agrees with independent implementations per algorithm") {
+    val rng = new scala.util.Random(21)
+    (1 to 30).foreach { _ =>
+      val data = Array.fill(rng.nextInt(200) + 1)(rng.nextInt().toByte)
+      assert(Hashing.hashString("md5", data) ==
+        Encodings.hex(java.security.MessageDigest.getInstance("MD5").digest(data)))
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      assert(Hashing.hashString("crc32", data) == crc.getValue.toString)
+      assert(Hashing.hashString("xxhash64", data) == Checksum.xxh64(data).toString)
+      assert(Hashing.hashString("xxhash32", data) == Checksum.xxh32(data).toString)
+    }
+    // fixed published vectors
+    assert(Hashing.hashString("sha1", "abc".getBytes("UTF-8")) ==
+      "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(Hashing.hashString("sha256", "abc".getBytes("UTF-8")) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    intercept[InvalidCodecException](Hashing.hashString("bcrypt", Array[Byte](1)))
+    intercept[InvalidCodecException](Hashing.hashString("xxhash3", Array[Byte](1)))
+  }
 }

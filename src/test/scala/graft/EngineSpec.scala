@@ -55,6 +55,39 @@ class EngineSpec extends AnyFunSuite {
     blocks.unpersist()
   }
 
+  test("strictSizeBound enforces the per-block zstd(plain) bound, incl. adversarial data") {
+    import spark.implicits._
+    // adversarial mix: high-entropy blocks where a lightweight codec could
+    // sit above zstd(plain) without the strict comparison
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 400).map { i =>
+      val toks =
+        if (i % 3 == 0) Array.fill(2000)(rng.nextInt(1 << 20)) // near-random
+        else if (i % 3 == 1) Array.fill(2000)(rng.nextInt(64)) // low-card
+        else Array.tabulate(2000)(j => j % 17) // runs
+      TokenRow(f"d$i%05d", toks, toks.length, s"s${i % 3}")
+    }
+    val ds = spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[TokenRow])
+    val comp = TokenCompressor(EncodeOptions(numParts = 4, blockTokens = 1 << 14,
+      strictSizeBound = true))
+    val blocks = comp.encode(ds).collect()
+    blocks.foreach { b =>
+      val decoded = BlockEncoder.decodeBlock(b, verify = true).toArray
+      // the bound's "plain canonical bytes" = the concatenated LE int32
+      // token stream, exactly what PlainCodec emits (row lengths live in
+      // real columns, not the payload)
+      val plain = PlainCodec.encode(decoded.flatMap(_.tokens))
+      val bound = com.github.luben.zstd.Zstd.compress(plain, 3).length.toLong
+      assert(b.encoded_bytes <= bound,
+        s"block ${b.block_id} (${b.codec}): ${b.encoded_bytes} > zstd(plain) $bound")
+    }
+    // and the mode stays bit-exact
+    val back = comp.decode(spark.createDataset(blocks.toIndexedSeq)(
+      org.apache.spark.sql.Encoders.product[EncodedBlock]))
+      .collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
+    assert(back == rows.map(r => r.doc_id -> r.tokens.toSeq).toMap)
+  }
+
   test("decode verifies checksums (corruption is detected)") {
     import spark.implicits._
     val input = Fixtures.tokenTable(spark, 100L)
