@@ -144,6 +144,7 @@ object Bench {
 
     // decode throughput + partition-balance histogram (skew evidence) at 24
     var thrDec = 0.0
+    var thrRec = 0.0
     var skewMaxOverAvg = 0.0
     locally {
       import org.apache.spark.sql.Encoders
@@ -172,6 +173,17 @@ object Bench {
         }
         decodeOnce() // warm
         thrDec = (1 to 3).map(_ => decodeOnce()).max
+        // narrow policy-migration path: decode + re-encode with NO exchange
+        def recompressOnce(): Double = {
+          val blocks = s.read.parquet(blocksPath)
+            .select(cols.toIndexedSeq: _*).as[EncodedBlock](Encoders.product[EncodedBlock])
+          val t0 = System.nanoTime()
+          val n = comp.recompress(blocks, verify = false).toDF()
+            .agg(F.sum("n_tokens")).head().getLong(0)
+          n / ((System.nanoTime() - t0) / 1e9) / 1e6
+        }
+        recompressOnce() // warm
+        thrRec = (1 to 2).map(_ => recompressOnce()).max
       } finally stop(s)
     }
 
@@ -199,6 +211,7 @@ object Bench {
       f""""scaling_efficiency_8to24":$scalingEff8to24%.3f,""" +
       f""""compression_ratio":$ratio%.3f,""" +
       f""""decode_mtok_s_local24":$thrDec%.1f,""" +
+      f""""recompress_mtok_s_local24":$thrRec%.1f,""" +
       f""""part_tokens_max_over_avg":$skewMaxOverAvg%.2f,""" +
       f""""plan_sec":$planSec%.2f,""" +
       s""""bench_tokens":$toks24,"raw_bytes":$raw24,"encoded_bytes":$enc24,""" +

@@ -129,6 +129,22 @@ class TokenCompressor(val opts: EncodeOptions) extends Serializable {
     }(Encoders.product[EncodedBlock])
   }
 
+  /** Narrow re-encode of an existing encoded table under this compressor's
+    * policy — the compaction/migration path. NO exchange: each task decodes
+    * its blocks and re-blocks the rows in place, preserving part ids (the
+    * table's clustering already reflects the persisted plan). At 10^12
+    * sequences a codec-policy migration is therefore pure CPU + IO — raw
+    * token arrays never cross the network.
+    */
+  def recompress(blocks: Dataset[EncodedBlock], verify: Boolean = true): Dataset[EncodedBlock] = {
+    val o = opts
+    blocks.mapPartitions { it =>
+      val rows = it.flatMap(b =>
+        BlockEncoder.decodeBlock(b, verify).map(r => (b.part_id, r)))
+      BlockEncoder.encodePartition(rows, o)
+    }(Encoders.product[EncodedBlock])
+  }
+
   /** Inverse transform: blocks → rows, verifying the xxhash64 checksum of
     * every block (the reference's decode-side round-trip law,
     * /root/reference/src/test/common/EncodeToolsRunner.ts:117-129).

@@ -283,7 +283,11 @@ object ResumableEncodeJob {
       .orElse(ManifestIO.latest(spark, table))
       .getOrElse(throw new IllegalStateException(s"no snapshot in $table"))
     val committed = snap.committed.toSeq
-    val df = spark.read.parquet(ManifestIO.dataDir(table).toString)
+    // schema-explicit: a committed-but-empty table (zero input rows) has no
+    // parquet footers to infer from and must read back as empty, not throw
+    val df = spark.read
+      .schema(Encoders.product[EncodedBlock].schema)
+      .parquet(ManifestIO.dataDir(table).toString)
       .where(col("part_id").isin(committed: _*))
     // partitionBy pushed part_id to the directory key; restore column order
     val cols = Encoders.product[EncodedBlock].schema.fieldNames.map(col)

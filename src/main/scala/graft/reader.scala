@@ -35,7 +35,9 @@ object RangeReader {
     val parts = candidateParts(snap.plan, fromDoc, toDoc)
       .filter(snap.committed)
     val cols = Encoders.product[EncodedBlock].schema.fieldNames.map(col)
-    spark.read.parquet(ManifestIO.dataDir(table).toString)
+    spark.read
+      .schema(Encoders.product[EncodedBlock].schema)
+      .parquet(ManifestIO.dataDir(table).toString)
       .where(col("part_id").isin(parts: _*))
       .where(col("last_doc_id") >= fromDoc && col("first_doc_id") <= toDoc)
       .select(cols.toIndexedSeq: _*)

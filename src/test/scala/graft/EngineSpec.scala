@@ -88,6 +88,27 @@ class EngineSpec extends AnyFunSuite {
     assert(back == rows.map(r => r.doc_id -> r.tokens.toSeq).toMap)
   }
 
+  test("recompress: narrow policy migration preserves part ids and bits") {
+    import org.apache.spark.sql.Encoders
+    val input = Fixtures.tokenTable(spark, 800L)
+    val comp = TokenCompressor(EncodeOptions(numParts = 4, blockTokens = 1 << 13))
+    val orig = comp.encode(input).collect()
+    val blocks = spark.createDataset(orig.toIndexedSeq)(Encoders.product[EncodedBlock])
+    val migrated = TokenCompressor(
+      EncodeOptions(codecPolicy = "rle", numParts = 4, blockTokens = 1 << 13))
+      .recompress(blocks)
+    // no exchange in the plan: recompress must be a narrow mapPartitions
+    val plan = migrated.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"recompress must not shuffle:\n$plan")
+    val got = migrated.collect()
+    assert(got.forall(_.codec == "rle"))
+    assert(got.map(_.part_id).toSet == orig.map(_.part_id).toSet)
+    val back = TokenCompressor(EncodeOptions())
+      .decode(spark.createDataset(got.toIndexedSeq)(Encoders.product[EncodedBlock]))
+      .collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
+    assert(back == input.collect().map(r => r.doc_id -> r.tokens.toSeq).toMap)
+  }
+
   test("decode verifies checksums (corruption is detected)") {
     import spark.implicits._
     val input = Fixtures.tokenTable(spark, 100L)

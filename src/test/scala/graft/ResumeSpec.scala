@@ -86,4 +86,18 @@ class ResumeSpec extends AnyFunSuite {
     val dec = TokenCompressor(opts).decode(ResumableEncodeJob.readBlocks(spark, s"$dir/t"))
     assert(dec.count() == 200L, "stale file must not produce duplicate rows")
   }
+
+  test("zero-row input commits an empty snapshot and reads back empty") {
+    import org.apache.spark.sql.Encoders
+    val empty = spark.createDataset(Seq.empty[TokenRow])(Encoders.product[TokenRow])
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_tbl").toString
+    val snap = ResumableEncodeJob.run(empty, dir, EncodeOptions(numParts = 4))
+    assert(snap.version == 1, "first batch must COMMIT even with zero blocks")
+    assert(snap.committed == (0 until snap.plan.numParts).toSet)
+    assert(snap.lineage.isEmpty)
+    assert(ResumableEncodeJob.readBlocks(spark, dir).count() == 0)
+    // a rerun is a no-op, not a recrash
+    val again = ResumableEncodeJob.run(empty, dir, EncodeOptions(numParts = 4))
+    assert(again.version == 1)
+  }
 }
