@@ -467,6 +467,26 @@ object SparkEntry {
           (acc, v) => acc && v >= 0f && v <= 1f)).as("emb_in_range"))
         .orderBy("doc_id")
     }),
+    "mm_audio" -> ((s, dir) => {
+      // REAL WAV path (javax.sound.sampled): header metadata is closed-form
+      // for the synthetic sine payloads; full-signal RMS must equal the
+      // analytic sine RMS (amp/sqrt(2)) within quantization+boundary error
+      val wav = udf((id: Long) => MediaOps.AudioCodec.synthWav(id))
+      val rmsU = udf((b: Array[Byte]) =>
+        MediaOps.AudioCodec.rms(MediaOps.AudioCodec.samples(b)))
+      val media = docs(s, dir).select(col("doc_id"), wav(col("doc_id")).as("payload"))
+      val withMeta = MediaOps.extractAudioFeatures(
+        MediaOps.withAudioMetadata(media, col("payload")))
+      withMeta.select(col("doc_id"),
+        col("audio_meta.sample_rate").as("sample_rate"),
+        col("audio_meta.channels").as("channels"),
+        col("audio_meta.n_frames").as("n_frames"),
+        col("audio_meta.duration_ms").as("duration_ms"),
+        (abs(rmsU(col("payload")) - lit(8192.0 / 32768.0 / math.sqrt(2.0))) < 0.01)
+          .as("rms_ok"),
+        size(col("audio_embedding")).as("emb_dim"))
+        .orderBy("doc_id")
+    }),
     "mm_negotiate" -> ((s, dir) => {
       // HTTP content negotiation (headerToConvertableFormat,
       // EncodeTools.ts:466-487): header value -> format via the MIME maps,
@@ -789,6 +809,12 @@ object SparkEntry {
         """SELECT doc_id, cast(32 as int) AS width, cast(16 as int) AS height,
           |  'jpeg' AS format, cast(4 as int) AS n_frames,
           |  cast(16 as int) AS emb_dim, true AS emb_in_range
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "mm_audio" ->
+        """SELECT doc_id, cast(8000 as int) AS sample_rate, cast(1 as int) AS channels,
+          |  cast(800 + (doc_id % 100) * 8 as bigint) AS n_frames,
+          |  cast((800 + (doc_id % 100) * 8) / 8 as bigint) AS duration_ms,
+          |  true AS rms_ok, cast(8 as int) AS emb_dim
           |FROM documents ORDER BY doc_id""".stripMargin,
       "mm_negotiate" -> valuesOracle(Seq(
         "(0, 'json')", "(1, 'msgpack')", "(2, 'cbor')", "(3, 'png')",

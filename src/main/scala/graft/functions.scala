@@ -265,6 +265,23 @@ object IdGen {
     b.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
     b.array()
   }
+  /** One-dispatcher id minting across the reference's IDFormat enum
+    * (/root/reference/src/EncodeTools.ts:164-197, uniqueId dispatch at
+    * :1198-1235): every format returns its canonical string form; unknown
+    * formats fail closed like InvalidFormat.
+    */
+  def mint(format: String): String = format match {
+    case "uuidv4" => Encodings.hex(uuidv4)
+    case "uuidv4String" => uuidv4String
+    case "uuidv1" => Encodings.hex(uuidBytes(uuidv1))
+    case "uuidv1String" => uuidv1String
+    case "objectId" => Encodings.hex(objectId)
+    case "nanoid" => nanoid()
+    case "timestamp" => timestamp.toString
+    case "slug" => encodeSlug(uuidv4)
+    case other => throw new InvalidCodecException(s"unknown id format '$other'")
+  }
+
   /** UUID bytes ↔ 22-char base64url slug (reference
     * `encodeSlugID`/`decodeSlugID`, EncodeTools.ts:1127-1138). The 22-char
     * law: 16 raw bytes -> ceil(16*8/6) = 22 base64url chars, unpadded.

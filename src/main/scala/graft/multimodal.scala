@@ -237,6 +237,109 @@ object MediaOps {
       .withColumn("n_frames", size(col("frames")))
   }
 
+  // ---------------- audio (REAL javax.sound.sampled WAV path) ------------
+
+  /** Audio kernels over PCM WAV payloads — the JDK parses WAV/AIFF/AU
+    * natively, so metadata, sample access and feature extraction are REAL
+    * (no stub), with the same opaque-binary-column plumbing as images.
+    */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+    /** (sample_rate, channels, n_frames) from the container header. */
+    def meta(bytes: Array[Byte]): (Int, Int, Long) = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try (in.getFormat.getSampleRate.toInt, in.getFormat.getChannels, in.getFrameLength)
+      finally in.close()
+    }
+
+    /** Signed 16-bit mono PCM samples (fails closed on other layouts). */
+    def samples(bytes: Array[Byte]): Array[Short] = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+          f.getEncoding != AudioFormat.Encoding.PCM_SIGNED)
+          throw new InvalidCodecException(
+            s"expected 16-bit mono PCM, got $f")
+        val raw = in.readAllBytes()
+        val out = new Array[Short](raw.length / 2)
+        var i = 0
+        while (i < out.length) {
+          val lo = raw(2 * i) & 0xff
+          val hi = raw(2 * i + 1)
+          out(i) = (if (f.isBigEndian) ((lo << 8) | (hi & 0xff)) else ((hi << 8) | lo)).toShort
+          i += 1
+        }
+        out
+      } finally in.close()
+    }
+
+    /** Deterministic synthetic WAV keyed by id: 16-bit mono PCM sine,
+      * closed-form rate/frames/amplitude so oracles can state expected
+      * metadata and RMS in plain SQL.
+      */
+    def synthWav(id: Long): Array[Byte] = {
+      val rate = 8000
+      val nFrames = 800 + (id % 100).toInt * 8 // 100-199 ms
+      val amp = 8192.0
+      val freq = 200.0 + (id % 20) * 50.0
+      val pcm = new Array[Byte](nFrames * 2)
+      var i = 0
+      while (i < nFrames) {
+        val v = (amp * math.sin(2 * math.Pi * freq * i / rate)).round.toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Root-mean-square level of the samples, normalized to [0,1]. */
+    def rms(s: Array[Short]): Double = {
+      if (s.isEmpty) return 0.0
+      var acc = 0.0
+      var i = 0
+      while (i < s.length) { val v = s(i) / 32768.0; acc += v * v; i += 1 }
+      math.sqrt(acc / s.length)
+    }
+  }
+
+  /** Attach (sample_rate, channels, n_frames, duration_ms, n_bytes) —
+    * header-only parse, the audio analog of [[withMetadata]].
+    */
+  def withAudioMetadata(df: DataFrame, payload: Column): DataFrame = {
+    val m = udf((b: Array[Byte]) => AudioCodec.meta(b))
+    df.withColumn("_a", m(payload))
+      .withColumn("audio_meta", struct(
+        col("_a._1").as("sample_rate"),
+        col("_a._2").as("channels"),
+        col("_a._3").as("n_frames"),
+        (col("_a._3") * 1000L / col("_a._1")).cast("long").as("duration_ms"),
+        length(payload).as("n_bytes")))
+      .drop("_a")
+  }
+
+  /** REAL audio feature extraction: per-window RMS energy profile over k
+    * equal windows — the classic loudness envelope descriptor,
+    * downstream-ANN-compatible like the image thumbnail.
+    */
+  def extractAudioFeatures(df: DataFrame, k: Int = 8): DataFrame = {
+    val feat = udf { (b: Array[Byte]) =>
+      val s = AudioCodec.samples(b)
+      Array.tabulate(k) { w =>
+        val lo = (s.length.toLong * w / k).toInt
+        val hi = (s.length.toLong * (w + 1) / k).toInt
+        AudioCodec.rms(java.util.Arrays.copyOfRange(s, lo, math.max(hi, lo))).toFloat
+      }
+    }
+    df.withColumn("audio_embedding", feat(col("payload")))
+  }
+
   /** REAL pixel feature extraction: mean-pooled 4x4 grayscale thumbnail,
     * flattened to a 16-dim float embedding in [0,1] — the classic tiny
     * descriptor; downstream ANN-compatible. (A production vision encoder

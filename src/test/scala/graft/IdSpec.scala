@@ -103,4 +103,17 @@ class IdSpec extends AnyFunSuite {
       assert(ContentNegotiation.mimeToFormat(m) == Some(f))
     }
   }
+
+  test("IdGen.mint dispatches every IDFormat, fails closed on unknown") {
+    assert(IdGen.mint("uuidv4").length == 32)        // 16 bytes hex
+    assert(IdGen.mint("uuidv4String").length == 36)
+    assert(IdGen.mint("uuidv1").length == 32)
+    assert(IdGen.mint("uuidv1String").length == 36)
+    assert(java.util.UUID.fromString(IdGen.mint("uuidv1String")).version() == 1)
+    assert(IdGen.mint("objectId").length == 24)
+    assert(IdGen.mint("nanoid").length == 21)
+    assert(IdGen.mint("timestamp").forall(_.isDigit))
+    assert(IdGen.mint("slug").length == 22)
+    intercept[InvalidCodecException](IdGen.mint("snowflake"))
+  }
 }

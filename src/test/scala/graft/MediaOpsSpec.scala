@@ -119,4 +119,33 @@ class MediaOpsSpec extends AnyFunSuite {
       assert(MediaOps.MimeFormat(MediaOps.FormatMime(f)) == f)
     }
   }
+
+  test("REAL audio path: WAV header metadata, PCM samples, sine RMS, features") {
+    import spark.implicits._
+    val bytes = MediaOps.AudioCodec.synthWav(7L)
+    val (rate, ch, frames) = MediaOps.AudioCodec.meta(bytes)
+    assert(rate == 8000 && ch == 1 && frames == 800 + 7 * 8)
+    val s7 = MediaOps.AudioCodec.samples(bytes)
+    assert(s7.length == frames)
+    // analytic sine RMS = amp / sqrt(2)
+    val rms = MediaOps.AudioCodec.rms(s7)
+    assert(math.abs(rms - 8192.0 / 32768.0 / math.sqrt(2.0)) < 0.01, rms)
+    val wav = org.apache.spark.sql.functions.udf((id: Long) => MediaOps.AudioCodec.synthWav(id))
+    val df = Seq(1L, 2L, 103L).toDF("doc_id")
+      .select(col("doc_id"), wav(col("doc_id")).as("payload"))
+    val out = MediaOps.extractAudioFeatures(
+      MediaOps.withAudioMetadata(df, col("payload")), k = 8)
+      .select("doc_id", "audio_meta.sample_rate", "audio_meta.n_frames",
+        "audio_meta.duration_ms", "audio_embedding").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8000)
+      assert(r.getLong(2) == 800 + (id % 100) * 8)
+      assert(r.getLong(3) == (800 + (id % 100) * 8) / 8)
+      val emb = r.getSeq[Float](4)
+      assert(emb.length == 8)
+      emb.foreach(v => assert(v >= 0f && v <= 1f))
+    }
+    intercept[Exception](MediaOps.AudioCodec.meta("not a wav".getBytes("UTF-8")))
+  }
 }
