@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -47,5 +48,42 @@ object GraftFunctions {
       "canonical_xxh64",
       (exprs: Seq[Expression]) => CanonicalXxh64(exprs.head),
       "built-in")
+  }
+
+  /** The full dispatch surface as named SQL functions — a Spark SQL user
+    * reaches every reference codec family by name, mirroring the
+    * `IEncodeTools` method surface (/root/reference/src/IEncodeTools.ts:68-230):
+    * binary encodings, hashes, compression, serialization round-trip, ids,
+    * hashids, content negotiation. Scalar UDFs here are the SQL veneer;
+    * the hot encode path stays in codegen built-ins + the native
+    * expression above.
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    register(spark)
+    val u = spark.udf
+    u.register("graft_encode", (fmt: String, b: Array[Byte]) =>
+      Encodings.dispatchEncode(fmt, b))
+    u.register("graft_decode", (fmt: String, s: String) =>
+      Encodings.dispatchDecode(fmt, s))
+    u.register("graft_hash", (algo: String, b: Array[Byte]) =>
+      Hashing.hashString(algo, b))
+    u.register("graft_compress", (fmt: String, b: Array[Byte], level: Int) =>
+      Compression.dispatchCompress(fmt, b, level))
+    u.register("graft_decompress", (fmt: String, b: Array[Byte]) =>
+      Compression.dispatchDecompress(fmt, b))
+    // serialization is exposed as a round-trip probe over the JSON value
+    // model (SQL has no Any type): json text -> fmt bytes -> json text
+    u.register("graft_serialize_roundtrip", (fmt: String, json: String) =>
+      JsonValue.render(Serialization.deserialize(fmt,
+        Serialization.serialize(fmt, JsonValue.parse(json)))))
+    u.register("graft_hashid_encode", (salt: String, n: Long) =>
+      new Hashids(salt).encode(n))
+    u.register("graft_hashid_decode", (salt: String, h: String) =>
+      new Hashids(salt).decode(h).headOption.getOrElse(-1L))
+    u.register("graft_negotiate", (header: String, fallback: String) =>
+      ContentNegotiation.headerToFormat(Map("content-type" -> header),
+        "content-type", Option(fallback)).getOrElse("none"))
+    u.register("graft_mint", udf((format: String) => IdGen.mint(format))
+      .asNondeterministic())
   }
 }
