@@ -44,6 +44,13 @@ object RangeReader {
       .as[EncodedBlock](Encoders.product[EncodedBlock])
   }
 
+  /** Point lookup: the decoded row(s) for one doc_id — a degenerate range
+    * read, so the same three-level pruning applies (one partition dir, the
+    * few blocks whose [first,last] bracket the id, then the row filter).
+    */
+  def lookup(spark: SparkSession, table: String, docId: String): Dataset[TokenRow] =
+    readRange(spark, table, docId, docId)
+
   /** Decoded rows with doc_id in [fromDoc, toDoc]. */
   def readRange(
       spark: SparkSession,

@@ -38,4 +38,19 @@ class RangeReaderSpec extends AnyFunSuite {
     val one = RangeReader.readRange(spark, s"$dir/t", got.head, got.head).collect()
     assert(one.length == 1 && one.head.doc_id == got.head)
   }
+
+  test("point lookup returns exactly the doc and prunes to its partition") {
+    import org.apache.spark.sql.Encoders
+    val rows = (0 until 200).map(i => TokenRow(f"doc$i%04d", Array(i, i + 1), 2, "s"))
+    val ds = spark.createDataset(rows)(Encoders.product[TokenRow])
+    val dir = java.nio.file.Files.createTempDirectory("graft_lookup").toString
+    ResumableEncodeJob.run(ds, dir, EncodeOptions(numParts = 8, blockTokens = 32))
+    val got = RangeReader.lookup(spark, dir, "doc0137").collect()
+    assert(got.length == 1 && got.head.tokens.toSeq == Seq(137, 138))
+    assert(RangeReader.lookup(spark, dir, "missing").collect().isEmpty)
+    // pruning: candidate parts for a point is a single bucket's salt span
+    val snap = ManifestIO.latest(spark, dir).get
+    val cands = RangeReader.candidateParts(snap.plan, "doc0137", "doc0137")
+    assert(cands.length < snap.plan.numParts)
+  }
 }
