@@ -365,8 +365,13 @@ object SparkEntry {
           round(col("chars_per_word"), 4).as("chars_per_word"),
           round(col("punct_ratio"), 4).as("punct_ratio"),
           round(col("digit_ratio"), 4).as("digit_ratio"),
-          round(col("upper_ratio"), 4).as("upper_ratio"))
+          round(col("upper_ratio"), 4).as("upper_ratio"),
+          round(col("stopword_ratio"), 4).as("stopword_ratio"))
         .orderBy("doc_id")),
+    "t_bpe_count" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        TextOps.bpeTokenCountCol(col("text")).as("n_bpe"))
+      .orderBy("doc_id")),
     "t_langid" -> ((s, dir) =>
       TextOps.langId(docs(s, dir)).orderBy("doc_id")),
     "t_fingerprint" -> ((s, dir) => {
@@ -524,6 +529,19 @@ object SparkEntry {
         .where(col("vec_b") === col("vec_a") + 1000000L)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
         .orderBy("vec_a")),
+    "ann_ivf" -> ((s, dir) => {
+      // IVF scale path: planted scaled-copy queries normalize to the same
+      // direction as their originals, so they land in the SAME cell with
+      // certainty -> rank-1 neighbor is the original at cosine exactly 1.0
+      val corpus = embs(s, dir)
+      val queries = corpus.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), v => v * lit(2.0f)).as("embedding"))
+      SimSearch.ivfTopK(corpus, queries, k = 1, kCells = 8, nprobe = 1)
+        .where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("query_id")
+    }),
     "emb_norm" -> ((s, dir) => {
       val e = embs(s, dir)
       val dot = aggregate(zip_with(col("embedding"), col("embedding"),
@@ -755,7 +773,19 @@ object SparkEntry {
           |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
           |    / greatest(cast(length(text) as double), 1.0), 4) AS digit_ratio,
           |  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
-          |    / greatest(cast(length(text) as double), 1.0), 4) AS upper_ratio
+          |    / greatest(cast(length(text) as double), 1.0), 4) AS upper_ratio,
+          |  round((SELECT_STOPHITS) / greatest(cast(
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END as double), 1.0), 4)
+          |    AS stopword_ratio
+          |FROM documents ORDER BY doc_id""".stripMargin
+        .replace("SELECT_STOPHITS",
+          TextOps.langStopwords.toMap.apply("en").map(w =>
+            s"cast((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$w', ''))) / ${w.length} as double)")
+            .mkString(" + ")),
+      "t_bpe_count" ->
+        """SELECT doc_id,
+          |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) as int) AS n_bpe
           |FROM documents ORDER BY doc_id""".stripMargin,
       "t_langid" -> langOracle,
       "t_fingerprint" ->
@@ -793,6 +823,9 @@ object SparkEntry {
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) rank FROM s)
           |SELECT query_id, cast(rank as int) AS rank, neighbor_id, round(cos, 4) AS cos
           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "ann_ivf" ->
+        """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1.0 AS cos
+          |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin,
       "ann_lsh_pairs" ->
         """SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, 1.0 AS cos
           |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY vec_a""".stripMargin,

@@ -144,4 +144,122 @@ object SimSearch {
     */
   def embeddingNearDups(corpus: DataFrame, minCos: Double = 0.98): DataFrame =
     lshNearPairs(corpus, bits = 12, minCos = minCos, probes = 2)
+
+  // ---------------- IVF (inverted-file) ANN ----------------
+
+  private def normalized(v: Array[Float]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = if (n == 0) 0.0 else v(i) / n; i += 1 }
+    out
+  }
+
+  private def nearestCell(v: Array[Float], cents: Array[Array[Double]]): Int = {
+    val u = normalized(v)
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var i = 0
+      val n = math.min(u.length, cents(c).length)
+      while (i < n) { d += u(i) * cents(c)(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c } // ties -> lowest cell index
+      c += 1
+    }
+    best
+  }
+
+  /** Train a deterministic coarse quantizer: k seed vectors chosen by
+    * xxhash64(vec_id) order (reproducible "random" sample), then `iters`
+    * Lloyd rounds with cosine assignment. Centroid update streams each
+    * cell's members through one bounded accumulator (mapGroups) — no
+    * per-cell materialization; the only driver state is k x dim doubles.
+    */
+  def ivfCentroids(corpus: DataFrame, kCells: Int = 16,
+                   iters: Int = 4): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    var cents: Array[Array[Double]] = base
+      .map { case (id, v) =>
+        (Checksum.xxh64(java.nio.ByteBuffer.allocate(8).putLong(id).array()), v)
+      }
+      .orderBy(col("_1"))
+      .limit(kCells)
+      .collect()
+      .map(p => normalized(p._2))
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val updated = base
+        .map { case (_, v) => (nearestCell(v, bc.value), normalized(v)) }
+        .groupByKey(_._1)
+        .mapGroups { (cell, members) =>
+          val acc = new Array[Double](bc.value(cell).length)
+          var n = 0L
+          members.foreach { case (_, u) =>
+            var i = 0
+            while (i < acc.length && i < u.length) { acc(i) += u(i); i += 1 }
+            n += 1
+          }
+          (cell, acc.map(_ / math.max(n, 1)))
+        }
+        .collect()
+      val next = cents.map(_.clone())
+      updated.foreach { case (cell, mean) =>
+        // re-normalize the mean so assignment stays pure-cosine
+        val nrm = math.sqrt(mean.map(x => x * x).sum)
+        next(cell) = if (nrm == 0) cents(cell) else mean.map(_ / nrm)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF top-k: each query probes its `nprobe` nearest cells and ranks
+    * exactly inside them. The corpus is scanned ONCE and never shuffled:
+    * the (query x probe-cell) side is tiny and broadcasts, exact cosine
+    * runs on the surviving candidates, and the final window shuffles only
+    * those. The scale path when the brute-force corpus x query product is
+    * too big.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              kCells: Int = 16, nprobe: Int = 2,
+              cents: Option[Array[Array[Double]]] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val trained = cents.getOrElse(ivfCentroids(corpus, kCells))
+    val bc = spark.sparkContext.broadcast(trained)
+    val cellOf = udf((v: Array[Float]) => nearestCell(v, bc.value))
+    val probeCells = udf { (v: Array[Float]) =>
+      val u = normalized(v)
+      bc.value.indices
+        .map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < u.length && i < bc.value(c).length) { d += u(i) * bc.value(c)(i); i += 1 }
+          (-d, c)
+        }
+        .sorted.take(nprobe).map(_._2).toArray
+    }
+    val indexed = corpus.withColumn("cell", cellOf(col("embedding")))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("cell", explode(probeCells(col("q_emb"))))
+    val scored = indexed.join(broadcast(q), "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineCol(col("q_emb"), col("embedding")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
 }

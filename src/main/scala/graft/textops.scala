@@ -19,10 +19,26 @@ object TextOps {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
-  /** Quality features: length, word stats, punctuation/digit/upper ratios. */
+  /** BPE-style subword-ish token count: runs of letters, runs of digits,
+    * and single other non-space symbols — the ASCII-safe core of the GPT-2
+    * pre-tokenizer split, chosen so the EXACT same regex runs in DuckDB as
+    * the oracle (full \p{L} classes differ subtly between regex engines).
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCountCol(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
+  /** Quality features: length, word stats, punctuation/digit/upper/stopword
+    * ratios (the reference-pipeline trio length/punct/stopword plus extras).
+    */
   def quality(df: DataFrame, text: Column = col("text")): DataFrame = {
     val n = length(text).cast("double")
     val words = tokenCountCol(text)
+    // stopword hits: occurrences of the english stopword set, per word —
+    // the classic boilerplate/fluency cue; same formula as langScore so the
+    // oracle states it in plain SQL
+    val stopHits = langScore(concat(lit(" "), lower(text), lit(" ")),
+      langStopwords.toMap.apply("en"))
     df.select(
       col("doc_id"),
       length(text).as("n_chars"),
@@ -33,7 +49,9 @@ object TextOps {
       ((n - length(regexp_replace(text, "[0-9]", ""))) /
         greatest(n, lit(1.0))).as("digit_ratio"),
       ((n - length(regexp_replace(text, "[A-Z]", ""))) /
-        greatest(n, lit(1.0))).as("upper_ratio")
+        greatest(n, lit(1.0))).as("upper_ratio"),
+      (stopHits.cast("double") / greatest(words.cast("double"), lit(1.0)))
+        .as("stopword_ratio")
     )
   }
 

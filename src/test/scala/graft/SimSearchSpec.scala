@@ -52,4 +52,33 @@ class SimSearchSpec extends AnyFunSuite {
     val v = unit(8, 2)
     assert(SimSearch.signature(v, planes) == SimSearch.signature(v, planes2))
   }
+
+  test("IVF: full-probe search equals brute force; same-direction vectors share cells") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val vecs = (0L until 120L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.orderBy("vec_id").limit(5)
+    val cents = SimSearch.ivfCentroids(corpus, kCells = 4, iters = 3)
+    // determinism: retraining yields identical centroids
+    val cents2 = SimSearch.ivfCentroids(corpus, kCells = 4, iters = 3)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+    // probing EVERY cell must reproduce exact brute-force top-k
+    val ivf = SimSearch.ivfTopK(corpus, queries, k = 3, kCells = 4, nprobe = 4,
+        cents = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bf = SimSearch.bruteForceTopK(corpus, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf == bf)
+    // scaled copy = same direction = same cell, and its top-1 is the original
+    import org.apache.spark.sql.functions.col
+    val scaled = corpus.where(col("vec_id") === 7L)
+      .select((col("vec_id") + 500L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          v => v * org.apache.spark.sql.functions.lit(2.0f)).as("embedding"))
+    val hit = SimSearch.ivfTopK(corpus, scaled, k = 1, kCells = 4, nprobe = 1,
+        cents = Some(cents)).collect()
+    assert(hit.length == 1 && hit.head.getLong(2) == 7L)
+    assert(math.abs(hit.head.getDouble(3) - 1.0) < 1e-9)
+  }
 }
