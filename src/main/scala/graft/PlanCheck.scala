@@ -46,6 +46,9 @@ object PlanCheck {
     val d = s.read.parquet(s"$dir/documents.parquet")
     show("dd_minhash")(TextOps.minhashDupPairs(d))
 
+    // 6) IVF search (corpus scanned once, probe side broadcast)
+    show("ann_ivf")(SimSearch.ivfTopK(e, e.limit(4), k = 3, kCells = 4, nprobe = 2))
+
     s.stop()
   }
 }
