@@ -109,6 +109,38 @@ object Bits {
     pos - outPos
   }
 
+  /** Random-access unpack: values [startIdx, startIdx+count) of a
+    * `width`-bit LSB-first packed stream that begins at byte `inPos`.
+    * Seeks directly to bit offset startIdx*width — the kernel behind
+    * decode-slice point lookups (O(result) work, not O(block)).
+    */
+  def unpackRange(in: Array[Byte], inPos: Int, width: Int,
+                  startIdx: Int, count: Int,
+                  out: Array[Int], from: Int): Unit = {
+    if (width == 0) { java.util.Arrays.fill(out, from, from + count, 0); return }
+    val startBit = startIdx.toLong * width
+    var pos = inPos + (startBit >>> 3).toInt
+    var accBits = 0
+    var acc = 0L
+    val skip = (startBit & 7).toInt
+    if (skip > 0) {
+      acc = (in(pos).toLong & 0xff) >>> skip
+      accBits = 8 - skip
+      pos += 1
+    }
+    val mask = if (width == 32) 0xffffffffL else (1L << width) - 1
+    var i = 0
+    while (i < count) {
+      while (accBits < width) {
+        acc |= (in(pos).toLong & 0xff) << accBits
+        pos += 1; accBits += 8
+      }
+      out(from + i) = (acc & mask).toInt
+      acc >>>= width; accBits -= width
+      i += 1
+    }
+  }
+
   /** Unpacks n values of `width` bits from in(pos..) into out(from..). */
   def unpack(in: Array[Byte], inPos: Int, n: Int, width: Int,
              out: Array[Int], from: Int): Unit = {

@@ -22,6 +22,13 @@ trait TokenCodec extends Serializable {
 
   def encode(tokens: Array[Int]): Array[Byte]
   def decode(bytes: Array[Byte], n: Int): Array[Int]
+
+  /** Decode ONLY tokens [from, until) of an n-token payload when the wire
+    * layout supports random access (fixed-stride codecs); None means the
+    * caller must decode fully (sequential codecs: rle, fsst). Powers
+    * point/range lookups that touch O(result) tokens instead of O(block).
+    */
+  def decodeSlice(bytes: Array[Byte], n: Int, from: Int, until: Int): Option[Array[Int]] = None
 }
 
 /** Codecs whose encoding factors into (symbol table, body). The engine
@@ -46,6 +53,10 @@ trait TableCodec extends TokenCodec {
   def encodeWith(t: Table, tokens: Array[Int]): Option[Array[Byte]]
   def decodeWith(tableB: Array[Byte], body: Array[Byte], n: Int): Array[Int]
 
+  /** Slice variant of decodeWith; None when the body is sequential. */
+  def decodeWithSlice(tableB: Array[Byte], body: Array[Byte], n: Int,
+                      from: Int, until: Int): Option[Array[Int]] = None
+
   /** Quick should-we-retrain heuristic given the cached table and the new
     * block's stats (avoids paying a doomed encodeWith attempt).
     */
@@ -64,6 +75,12 @@ object PlainCodec extends TokenCodec {
     val out = bytesToIntsLE(bytes)
     require(out.length == n, s"plain: expected $n ints, got ${out.length}")
     out
+  }
+  override def decodeSlice(bytes: Array[Byte], n: Int, from: Int, until: Int): Option[Array[Int]] = {
+    val out = new Array[Int](until - from)
+    var i = from
+    while (i < until) { out(i - from) = readIntLE(bytes, i * 4); i += 1 }
+    Some(out)
   }
 }
 
@@ -93,6 +110,12 @@ object BitPackCodec extends TokenCodec {
     val out = new Array[Int](n)
     unpack(bytes, 1, n, w, out, 0)
     out
+  }
+  override def decodeSlice(bytes: Array[Byte], n: Int, from: Int, until: Int): Option[Array[Int]] = {
+    val w = bytes(0) & 0xff
+    val out = new Array[Int](until - from)
+    unpackRange(bytes, 1, w, from, until - from, out, 0)
+    Some(out)
   }
 }
 
@@ -136,6 +159,15 @@ object ForCodec extends TokenCodec {
     var i = 0
     while (i < n) { out(i) += mn; i += 1 }
     out
+  }
+  override def decodeSlice(bytes: Array[Byte], n: Int, from: Int, until: Int): Option[Array[Int]] = {
+    val mn = readIntLE(bytes, 0)
+    val w = bytes(4) & 0xff
+    val out = new Array[Int](until - from)
+    unpackRange(bytes, 5, w, from, until - from, out, 0)
+    var i = 0
+    while (i < out.length) { out(i) += mn; i += 1 }
+    Some(out)
   }
 }
 
@@ -268,6 +300,18 @@ object DictCodec extends TableCodec {
     out
   }
 
+  override def decodeWithSlice(tableB: Array[Byte], body: Array[Byte], n: Int,
+                               from: Int, until: Int): Option[Array[Int]] = {
+    // table parse is O(dict) — tiny next to the skipped code stream
+    val dict = tableFromBytes(tableB)
+    val w = body(0) & 0xff
+    val out = new Array[Int](until - from)
+    unpackRange(body, 1, w, from, until - from, out, 0)
+    var i = 0
+    while (i < out.length) { out(i) = dict(out(i)); i += 1 }
+    Some(out)
+  }
+
   def reusable(dict: Array[Int], s: BlockStats): Boolean =
     dict.nonEmpty && s.min >= dict(0) && s.max <= dict(dict.length - 1) &&
       // reuse must not widen the per-code bit width at all: +1 bit on the
@@ -295,6 +339,17 @@ object DictCodec extends TableCodec {
     var i = 0
     while (i < n) { out(i) = dict(codes(i)); i += 1 }
     out
+  }
+
+  override def decodeSlice(bytes: Array[Byte], n: Int, from: Int, until: Int): Option[Array[Int]] = {
+    val cur = new Cursor(0)
+    val dict = readTable(bytes, cur)
+    val w = bytes(cur.pos) & 0xff; cur.pos += 1
+    val out = new Array[Int](until - from)
+    unpackRange(bytes, cur.pos, w, from, until - from, out, 0)
+    var i = 0
+    while (i < out.length) { out(i) = dict(out(i)); i += 1 }
+    Some(out)
   }
 }
 

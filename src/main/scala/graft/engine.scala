@@ -312,6 +312,64 @@ object BlockEncoder {
     )
   }
 
+  /** Range-pushdown decode: only rows with doc_id in [fromDoc, toDoc]
+    * (UTF-8 byte order) leave this block, and for fixed-stride codecs
+    * (plain/bitpack/for/dict) only THEIR tokens are ever decoded — a point
+    * lookup touches O(result) tokens, not O(blockTokens). Sequential
+    * codecs (rle/fsst) fall back to full decode + row slice. Checksum
+    * verification requires the full token stream, so sliced decodes skip
+    * it (the Parquet page CRC still guards the payload bytes at rest).
+    */
+  def decodeBlockRange(b: EncodedBlock, fromDoc: String, toDoc: String): Iterator[TokenRow] = {
+    // doc_ids are sorted within a block (rows arrive part_id,doc_id-sorted)
+    var lo = 0
+    var hi = b.n_docs
+    while (lo < hi) { // first idx with doc_ids(idx) >= fromDoc
+      val mid = (lo + hi) >>> 1
+      if (DocIdOrder.compare(b.doc_ids(mid), fromDoc) < 0) lo = mid + 1 else hi = mid
+    }
+    val start = lo
+    hi = b.n_docs
+    while (lo < hi) { // first idx with doc_ids(idx) > toDoc
+      val mid = (lo + hi) >>> 1
+      if (DocIdOrder.compare(b.doc_ids(mid), toDoc) <= 0) lo = mid + 1 else hi = mid
+    }
+    val end = lo
+    if (start >= end) return Iterator.empty
+    var tokFrom = 0
+    var i = 0
+    while (i < start) { tokFrom += b.n_toks(i); i += 1 }
+    var tokUntil = tokFrom
+    while (i < end) { tokUntil += b.n_toks(i); i += 1 }
+
+    val codecBytes = Zframe.unframe(b.payload, b.outer)
+    val codec = CodecRegistry.byName(b.codec)
+    val sliced: Option[Array[Int]] =
+      if (b.symtab != null && b.symtab.nonEmpty) codec match {
+        case tc: TableCodec =>
+          tc.decodeWithSlice(b.symtab, codecBytes, b.n_tokens.toInt, tokFrom, tokUntil)
+        case _ => None
+      }
+      else codec.decodeSlice(codecBytes, b.n_tokens.toInt, tokFrom, tokUntil)
+
+    sliced match {
+      case Some(flat) =>
+        val out = new Array[TokenRow](end - start)
+        var pos = 0
+        var r = start
+        while (r < end) {
+          val n = b.n_toks(r)
+          out(r - start) = TokenRow(b.doc_ids(r),
+            java.util.Arrays.copyOfRange(flat, pos, pos + n), n, b.sources(r))
+          pos += n
+          r += 1
+        }
+        out.iterator
+      case None =>
+        decodeBlock(b, verify = false).slice(start, end)
+    }
+  }
+
   def decodeBlock(b: EncodedBlock, verify: Boolean): Iterator[TokenRow] = {
     val codecBytes = Zframe.unframe(b.payload, b.outer)
     val flat =

@@ -51,7 +51,13 @@ object RangeReader {
   def lookup(spark: SparkSession, table: String, docId: String): Dataset[TokenRow] =
     readRange(spark, table, docId, docId)
 
-  /** Decoded rows with doc_id in [fromDoc, toDoc]. */
+  /** Decoded rows with doc_id in [fromDoc, toDoc] (UTF-8 byte order,
+    * matching the planner boundaries and Spark's own comparisons). The
+    * fourth pruning level happens INSIDE each surviving block:
+    * `decodeBlockRange` binary-searches the row span and, for fixed-stride
+    * codecs, decodes only that span's tokens — point lookups cost
+    * O(result), not O(blockTokens).
+    */
   def readRange(
       spark: SparkSession,
       table: String,
@@ -59,11 +65,7 @@ object RangeReader {
       toDoc: String
   ): Dataset[TokenRow] = {
     val blocks = rangeBlocks(spark, table, fromDoc, toDoc)
-    // UTF-8 byte order (DocIdOrder), matching the Spark column comparisons
-    // in rangeBlocks and the planner boundaries — Java String >= would
-    // diverge for supplementary-plane doc_ids and silently drop rows
-    TokenCompressor(EncodeOptions.default).decode(blocks)
-      .filter(r => DocIdOrder.compare(r.doc_id, fromDoc) >= 0 &&
-        DocIdOrder.compare(r.doc_id, toDoc) <= 0)
+    blocks.flatMap(b => BlockEncoder.decodeBlockRange(b, fromDoc, toDoc))(
+      Encoders.product[TokenRow])
   }
 }

@@ -92,4 +92,42 @@ class CodecSpec extends AnyFunSuite {
     val enc = RleCodec.encode(data)
     assert(enc.length < data.length * 4 / 8)
   }
+
+  test("decodeSlice == full decode slice for every fixed-stride codec and width") {
+    val rng = new scala.util.Random(41)
+    val shapes: Seq[Array[Int]] = Seq(
+      Array.fill(5000)(rng.nextInt(2)),            // 1-bit
+      Array.fill(5000)(rng.nextInt(100)),          // 7-bit
+      Array.fill(5000)(rng.nextInt(1 << 20)),      // 20-bit
+      Array.fill(5000)(rng.nextInt()),             // full range (plain/for)
+      Array.fill(5000)(rng.nextInt(300) * 11),     // dict-friendly
+      Array.tabulate(5000)(i => i % 977)
+    )
+    val codecs: Seq[TokenCodec] = Seq(PlainCodec, BitPackCodec, ForCodec, DictCodec)
+    for (tokens <- shapes; c <- codecs if c.applicable(Analyzer.stats(tokens))) {
+      if (c != BitPackCodec || tokens.forall(_ >= 0)) {
+        val bytes = c.encode(tokens)
+        val full = c.decode(bytes, tokens.length)
+        (0 until 20).foreach { _ =>
+          val from = rng.nextInt(tokens.length)
+          val until = from + rng.nextInt(tokens.length - from) + 1
+          val sl = c.decodeSlice(bytes, tokens.length, from, until)
+          assert(sl.isDefined, s"${c.name} must support slices")
+          assert(sl.get.toSeq == full.slice(from, until).toSeq,
+            s"${c.name} [$from,$until)")
+        }
+        // boundary slices
+        assert(c.decodeSlice(bytes, tokens.length, 0, tokens.length).get.toSeq == full.toSeq)
+      }
+    }
+    // dict split path slices too
+    val toks = Array.fill(4000)(rng.nextInt(500) * 3)
+    val dict = DictCodec.train(toks)
+    val tb = DictCodec.tableBytes(dict)
+    val body = DictCodec.encodeWith(dict, toks).get
+    val sl = DictCodec.decodeWithSlice(tb, body, toks.length, 100, 300)
+    assert(sl.get.toSeq == toks.slice(100, 300).toSeq)
+    // sequential codecs decline
+    assert(RleCodec.decodeSlice(RleCodec.encode(toks), toks.length, 0, 10).isEmpty)
+  }
 }

@@ -53,4 +53,24 @@ class RangeReaderSpec extends AnyFunSuite {
     val cands = RangeReader.candidateParts(snap.plan, "doc0137", "doc0137")
     assert(cands.length < snap.plan.numParts)
   }
+
+  test("range decode pushdown agrees with full decode across every codec policy") {
+    import org.apache.spark.sql.Encoders
+    val rng = new scala.util.Random(23)
+    Seq("plain", "bitpack", "for", "dict", "rle", "fsst", "auto").foreach { policy =>
+      val rows = (0 until 300).map { i =>
+        val toks = Array.fill(20 + rng.nextInt(30))(rng.nextInt(800))
+        TokenRow(f"k$i%05d", toks, toks.length, "s")
+      }
+      val ds = spark.createDataset(rows)(Encoders.product[TokenRow])
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_slice_$policy").toString
+      ResumableEncodeJob.run(ds, dir,
+        EncodeOptions(codecPolicy = policy, numParts = 3, blockTokens = 1 << 10))
+      val got = RangeReader.readRange(spark, dir, "k00050", "k00149")
+        .collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
+      val want = rows.filter(r => r.doc_id >= "k00050" && r.doc_id <= "k00149")
+        .map(r => r.doc_id -> r.tokens.toSeq).toMap
+      assert(got == want, s"policy $policy")
+    }
+  }
 }
