@@ -512,6 +512,20 @@ object SparkEntry {
         .orderBy("i")
     }),
 
+    // --- event-time windowed aggregation (events table) ---
+    "ev_window" -> ((s, dir) => {
+      // epoch-aligned 1-hour event-time windows x event_type — the batch
+      // face of the streaming window/watermark pipeline (StreamingSpec
+      // proves the watermarked stream converges to exactly this)
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("string").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // --- similarity search ---
     "ann_topk" -> ((s, dir) => {
       val corpus = embs(s, dir)
@@ -810,6 +824,10 @@ object SparkEntry {
         s"""SELECT * FROM (${TokenTables.lineitemDigestOracle}) d
            |WHERE doc_id BETWEEN '0000000100-00' AND '0000000400-99'
            |ORDER BY doc_id""".stripMargin,
+      "ev_window" ->
+        """SELECT cast(date_trunc('hour', ts) as varchar) AS window_start,
+          |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
       "emb_norm" ->
         """SELECT vec_id,
           |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm

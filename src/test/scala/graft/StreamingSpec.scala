@@ -48,4 +48,59 @@ class StreamingSpec extends AnyFunSuite {
     StreamingEncode.appendBatch(wave1, table, opts, batchId = 0L)
     assert(ManifestIO.latest(spark, table).get.version == before)
   }
+
+  test("watermarked event-time window stream converges to the batch aggregation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // phase-driven arrival (write -> AvailableNow run -> repeat) so event
+    // time rises monotonically across runs: no late-data drops, and the
+    // watermark persisted in the checkpoint closes earlier windows exactly
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val all = (0 until 200).map { i =>
+      (i.toLong, new java.sql.Timestamp(base + i * 90000L), s"t${i % 3}")
+    }
+    val phases = Seq(
+      all.filter(_._2.getTime < base + 5400000L), // [0h, 1.5h)
+      all.filter(r => r._2.getTime >= base + 5400000L && r._2.getTime < base + 10800000L),
+      all.filter(_._2.getTime >= base + 10800000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_evstream").toString
+    val schema = phases.head.toDF("event_id", "ts", "event_type").schema
+    phases.zipWithIndex.foreach { case (rows, phase) =>
+      rows.toDF("event_id", "ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour")).count()
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.select(col("window.start").cast("string"), col("count"))
+            .collect().map(r => r.getString(0) -> r.getLong(1))
+          StreamingSpec.emitted.synchronized { StreamingSpec.emitted ++= rows }
+          ()
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val got = StreamingSpec.emitted.synchronized { StreamingSpec.emitted.toMap }
+    val batch = all.toDF("event_id", "ts", "event_type")
+      .groupBy(window(col("ts"), "1 hour")).count()
+      .select(col("window.start").cast("string"), col("count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // windows fully below the phase-2 watermark (2.5h) MUST be out, complete
+    Seq("2024-01-01 00:00:00", "2024-01-01 01:00:00").foreach { w =>
+      assert(got.get(w).contains(batch(w)), s"window $w must be emitted complete")
+    }
+    // and nothing fabricated or partial: every emitted window == batch count
+    got.foreach { case (w, c) => assert(batch.get(w).contains(c), s"window $w") }
+  }
+}
+
+object StreamingSpec {
+  // shared sink for the foreachBatch watermark test (checkpointed streams
+  // cannot use the memory sink)
+  val emitted: scala.collection.mutable.ArrayBuffer[(String, Long)] =
+    scala.collection.mutable.ArrayBuffer.empty
 }
