@@ -210,19 +210,36 @@ object ResumableEncodeJob {
       .partitionBy("part_id")
       .parquet(ManifestIO.dataDir(table).toString)
 
-    // lineage from the committed files themselves, in ONE job: a two-level
-    // aggregation ((part_id, codec) partials, then per-part rollup with the
-    // codec map + xor-of-checksums via the bit_xor aggregate — no
-    // collect_list of checksums ever materializes) and a single collect of
-    // one small row per part. The read is column-pruned (payload never
-    // touched) and schema-explicit so a zero-block batch (only _SUCCESS on
-    // disk) yields empty lineage instead of a schema-inference failure.
+    val lineage = lineageFor(spark, table, batch)
+
+    // parts in the batch with zero rows still count as committed
+    val next = Snapshot(
+      base.version + 1,
+      System.currentTimeMillis(),
+      plan,
+      base.committed ++ batch,
+      base.lineage ++ lineage
+    )
+    ManifestIO.write(spark, table, next)
+    next
+  }
+
+  /** Lineage from the committed files themselves, in ONE job: a two-level
+    * aggregation ((part_id, codec) partials, then per-part rollup with the
+    * codec map + xor-of-checksums via the bit_xor aggregate — no
+    * collect_list of checksums ever materializes) and a single collect of
+    * one small row per part. The read is column-pruned (payload never
+    * touched) and schema-explicit so a zero-block batch (only _SUCCESS on
+    * disk) yields empty lineage instead of a schema-inference failure.
+    */
+  private def lineageFor(spark: SparkSession, table: String,
+                         batch: Set[Int]): Map[Int, PartLineage] = {
     import org.apache.spark.sql.Encoders
     val written = spark.read
       .schema(Encoders.product[EncodedBlock].schema)
       .parquet(ManifestIO.dataDir(table).toString)
       .where(col("part_id").isin(batch.toSeq: _*))
-    val lineage = written
+    written
       .groupBy("part_id", "codec")
       .agg(
         count(lit(1)).as("n_blocks"),
@@ -256,16 +273,55 @@ object ResumableEncodeJob {
           r.getAs[Long]("wall_micros")
         )
       }.toMap
+  }
 
-    // parts in the batch with zero rows still count as committed
+  /** Resumable table-level codec-policy migration: re-encode SRC's
+    * committed parts into DST under `opts`, part-batched with the same
+    * commit/cleanup discipline as [[run]]. The per-part work is the NARROW
+    * [[TokenCompressor.recompress]] path — raw tokens never shuffle, DST
+    * inherits SRC's partition plan, and an interrupted migration resumes
+    * from its last committed snapshot exactly like an interrupted encode.
+    */
+  def migrate(
+      spark: SparkSession,
+      srcTable: String,
+      dstTable: String,
+      opts: EncodeOptions = EncodeOptions.default,
+      maxPartsPerRun: Int = Int.MaxValue
+  ): Snapshot = {
+    val srcSnap = ManifestIO.latest(spark, srcTable)
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $srcTable"))
+    val base = ManifestIO.latest(spark, dstTable).getOrElse {
+      val s0 = Snapshot(0, System.currentTimeMillis(), srcSnap.plan, Set.empty, Map.empty)
+      ManifestIO.write(spark, dstTable, s0)
+      s0
+    }
+    val pending = srcSnap.committed.toSeq.sorted.filterNot(base.committed)
+    if (pending.isEmpty) return base
+    val batch = pending.take(maxPartsPerRun).toSet
+
+    val f = ManifestIO.fs(spark, dstTable)
+    batch.foreach { pid =>
+      val d = new Path(ManifestIO.dataDir(dstTable), s"part_id=$pid")
+      if (f.exists(d)) f.delete(d, true)
+    }
+
+    val srcBlocks = readBlocks(spark, srcTable)
+      .where(col("part_id").isin(batch.toSeq: _*))
+      .as[EncodedBlock](org.apache.spark.sql.Encoders.product[EncodedBlock])
+    TokenCompressor(opts).recompress(srcBlocks).toDF()
+      .write.mode(SaveMode.Append)
+      .partitionBy("part_id")
+      .parquet(ManifestIO.dataDir(dstTable).toString)
+
     val next = Snapshot(
       base.version + 1,
       System.currentTimeMillis(),
-      plan,
+      srcSnap.plan,
       base.committed ++ batch,
-      base.lineage ++ lineage
+      base.lineage ++ lineageFor(spark, dstTable, batch)
     )
-    ManifestIO.write(spark, table, next)
+    ManifestIO.write(spark, dstTable, next)
     next
   }
 

@@ -100,4 +100,34 @@ class ResumeSpec extends AnyFunSuite {
     val again = ResumableEncodeJob.run(empty, dir, EncodeOptions(numParts = 4))
     assert(again.version == 1)
   }
+
+  test("migrate: resumable policy migration, bit-exact, narrow, new codec") {
+    import org.apache.spark.sql.Encoders
+    val input = Fixtures.tokenTable(spark, 600L)
+    val src = java.nio.file.Files.createTempDirectory("graft_mig_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_mig_dst").toString
+    ResumableEncodeJob.run(input, src, EncodeOptions(numParts = 6, blockTokens = 1 << 13))
+    // interrupted migration: 2 parts per run -> 3 runs to converge
+    val s1 = ResumableEncodeJob.migrate(spark, src, dst,
+      EncodeOptions(codecPolicy = "plain"), maxPartsPerRun = 2)
+    assert(s1.committed.size == 2)
+    val s2 = ResumableEncodeJob.migrate(spark, src, dst,
+      EncodeOptions(codecPolicy = "plain"), maxPartsPerRun = 2)
+    assert(s2.committed.size == 4)
+    val s3 = ResumableEncodeJob.migrate(spark, src, dst,
+      EncodeOptions(codecPolicy = "plain"))
+    assert(s3.committed.size == 6)
+    // idempotent once converged
+    assert(ResumableEncodeJob.migrate(spark, src, dst,
+      EncodeOptions(codecPolicy = "plain")).version == s3.version)
+    val dstBlocks = ResumableEncodeJob.readBlocks(spark, dst)
+    assert(dstBlocks.collect().forall(_.codec == "plain"))
+    val back = TokenCompressor(EncodeOptions())
+      .decode(dstBlocks).collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
+    assert(back == input.collect().map(r => r.doc_id -> r.tokens.toSeq).toMap)
+    // lineage totals preserved (tokens/docs identical, codec mix now plain)
+    val srcSnap = ManifestIO.latest(spark, src).get
+    assert(s3.lineage.values.map(_.n_tokens).sum == srcSnap.lineage.values.map(_.n_tokens).sum)
+    assert(s3.lineage.values.flatMap(_.codecs.keys).toSet == Set("plain"))
+  }
 }
