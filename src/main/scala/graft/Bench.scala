@@ -114,23 +114,21 @@ object Bench {
     // JIT + page-cache warmup at every level (shared JVM => shared JIT;
     // C2 needs several full passes), discarded
     atCores(24, 2); atCores(8, 2); atCores(2, 1)
-    // interleave the N / 4N sessions so machine-state drift (page cache,
-    // JIT tiers, background load) spreads evenly across both levels;
-    // min over all reps per level = steady-state proxy. Rounds continue
-    // (up to 6) until BOTH per-level minima have stopped improving — the
-    // min is monotone, so extra rounds only refine it, never bias it.
-    var best2 = atCores(2, 2)
-    var best8 = atCores(8, 2)
-    var stable = 0
-    var rounds = 0
-    while (rounds < 4 && stable < 2) {
+    // Paired-round design: each round measures BOTH levels back to back
+    // (min of 2 reps each), so background-load windows on this shared box
+    // hit the two levels of a round together and mostly cancel in the
+    // round's efficiency ratio. The headline scaling efficiency is the
+    // MEDIAN of the per-round ratios — robust to a noisy round in either
+    // direction — alongside the min-of-all-reps throughputs per level.
+    var best2: (Double, Long, Long, Long, Map[String, Long]) = null
+    var best8: (Double, Long, Long, Long, Map[String, Long]) = null
+    val effSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to 5).foreach { _ =>
       val r2 = atCores(2, 2)
       val r8 = atCores(8, 2)
-      val improved = r2._1 < best2._1 || r8._1 < best8._1
-      if (r2._1 < best2._1) best2 = r2
-      if (r8._1 < best8._1) best8 = r8
-      stable = if (improved) 0 else stable + 1
-      rounds += 1
+      effSamples += (r8._2 / r8._1) / (4.0 * (r2._2 / r2._1))
+      if (best2 == null || r2._1 < best2._1) best2 = r2
+      if (best8 == null || r8._1 < best8._1) best8 = r8
     }
     val (sec2, toks2, _, _, _) = best2
     val (sec8, toks8, _, _, _) = best8
@@ -138,7 +136,9 @@ object Bench {
     val thr2 = toks2 / sec2 / 1e6
     val thr8 = toks8 / sec8 / 1e6
     val thr24 = toks24 / sec24 / 1e6
-    val scalingEff = thr8 / (4.0 * thr2)
+    val sortedEff = effSamples.sorted
+    val scalingEff = sortedEff(sortedEff.length / 2) // median of paired rounds
+    val scalingEffMin = thr8 / (4.0 * thr2)
     val scalingEff8to24 = thr24 / (3.0 * thr8)
     val ratio = raw24.toDouble / enc24
 
@@ -208,6 +208,8 @@ object Bench {
       f""""encode_mtok_s_local24":$thr24%.1f,""" +
       f""""scaling_efficiency":$scalingEff%.3f,""" +
       s""""scaling_pair":"local[2]->local[8] (N->4N cores, below the single-box memory-bandwidth ceiling)",""" +
+      s""""scaling_efficiency_samples":[${effSamples.map(e => f"$e%.3f").mkString(",")}],""" +
+      f""""scaling_efficiency_minbased":$scalingEffMin%.3f,""" +
       f""""scaling_efficiency_8to24":$scalingEff8to24%.3f,""" +
       f""""compression_ratio":$ratio%.3f,""" +
       f""""decode_mtok_s_local24":$thrDec%.1f,""" +

@@ -114,19 +114,42 @@ class TokenCompressor(val opts: EncodeOptions) extends Serializable {
     val slotOf = targetIds.zipWithIndex.toMap
     val keyOfPart: Array[Int] =
       Array.tabulate(plan.numParts)(p => slotOf.get(p).map(probes).getOrElse(0))
-    val routed = filtered
+    // OPTIONAL shuffle-byte reduction for network-bound clusters: FOR-pack
+    // each row's token array to binary on the map side (~2.5-3x fewer bytes
+    // than LE int32 before lz4 even sees them), unpack after the exchange.
+    // Rows remain rows, so the spillable shuffle/sort machinery is
+    // untouched. Off by default: locally the pack UDF's early Tungsten
+    // deserialization costs more than the bytes save (see EncodeOptions
+    // scaladoc); on a real cluster the exchange's wire bytes are the
+    // bottleneck this trades CPU against.
+    val keyed = filtered
       .withColumn("route_key",
         org.apache.spark.sql.functions.element_at(
           org.apache.spark.sql.functions.lit(keyOfPart), col("part_id") + 1))
-      .repartition(targetIds.length, col("route_key"))
-      .sortWithinPartitions(col("part_id"), col("doc_id"))
-      .select("part_id", "doc_id", "tokens", "n_tok", "source")
-      .as[(Int, String, Array[Int], Int, String)]
-
-    routed.mapPartitions { it =>
-      BlockEncoder.encodePartition(
-        it.map(r => (r._1, TokenRow(r._2, r._3, r._4, r._5))), o)
-    }(Encoders.product[EncodedBlock])
+    if (o.packShuffle) {
+      val packTokens = udf((t: Array[Int]) => ForCodec.encode(t))
+      val routed = keyed
+        .withColumn("packed", packTokens(col("tokens")))
+        .select("part_id", "doc_id", "packed", "n_tok", "source", "route_key")
+        .repartition(targetIds.length, col("route_key"))
+        .sortWithinPartitions(col("part_id"), col("doc_id"))
+        .select("part_id", "doc_id", "packed", "n_tok", "source")
+        .as[(Int, String, Array[Byte], Int, String)]
+      routed.mapPartitions { it =>
+        BlockEncoder.encodePartition(
+          it.map(r => (r._1, TokenRow(r._2, ForCodec.decode(r._3, r._4), r._4, r._5))), o)
+      }(Encoders.product[EncodedBlock])
+    } else {
+      val routed = keyed
+        .repartition(targetIds.length, col("route_key"))
+        .sortWithinPartitions(col("part_id"), col("doc_id"))
+        .select("part_id", "doc_id", "tokens", "n_tok", "source")
+        .as[(Int, String, Array[Int], Int, String)]
+      routed.mapPartitions { it =>
+        BlockEncoder.encodePartition(
+          it.map(r => (r._1, TokenRow(r._2, r._3, r._4, r._5))), o)
+      }(Encoders.product[EncodedBlock])
+    }
   }
 
   /** Narrow re-encode of an existing encoded table under this compressor's

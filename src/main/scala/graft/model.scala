@@ -79,6 +79,15 @@ final case class EncodedBlock(
   *                     quality-guarded and retrained at least every
   *                     `retrainEvery` blocks
   * @param retrainEvery upper bound on blocks encoded from one trained table
+  * @param packShuffle  FOR-pack each row's token array to binary before the
+  *                     range exchange (~2.5-3x fewer shuffle bytes before
+  *                     transport compression); rows stay rows so the
+  *                     spillable shuffle/sort path is unchanged. Default
+  *                     OFF: on this no-network box the pack UDF's early
+  *                     Tungsten deserialization costs more than the bytes
+  *                     save (measured 74->61 MTok/s at 8 cores); turn on
+  *                     for clusters where the wire, not the CPU, is the
+  *                     shuffle bottleneck
   */
 final case class EncodeOptions(
     codecPolicy: String = "auto",
@@ -88,7 +97,8 @@ final case class EncodeOptions(
     sampleMod: Int = 0,
     strictSizeBound: Boolean = false,
     tableReuse: Boolean = true,
-    retrainEvery: Int = 16
+    retrainEvery: Int = 16,
+    packShuffle: Boolean = false
 ) extends Serializable
 
 object EncodeOptions {

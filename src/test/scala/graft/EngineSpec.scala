@@ -150,4 +150,20 @@ class EngineSpec extends AnyFunSuite {
     val all = blocks.flatMap(_.doc_ids)
     assert(all.length == 1000 && all.distinct.length == 1000)
   }
+
+  test("packShuffle mode round-trips bit-identically (network-bound-cluster knob)") {
+    import org.apache.spark.sql.Encoders
+    val input = Fixtures.tokenTable(spark, 500L)
+    val opts = EncodeOptions(numParts = 4, blockTokens = 1 << 13, packShuffle = true)
+    val comp = TokenCompressor(opts)
+    val back = comp.decode(comp.encode(input))
+      .collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
+    assert(back == input.collect().map(r => r.doc_id -> r.tokens.toSeq).toMap)
+    // packed and unpacked paths produce identical block payloads (same
+    // routing, same sort, same codec decisions)
+    val a = comp.encode(input).collect().map(b => (b.part_id, b.block_id, b.checksum)).toSet
+    val b = TokenCompressor(opts.copy(packShuffle = false)).encode(input)
+      .collect().map(b => (b.part_id, b.block_id, b.checksum)).toSet
+    assert(a == b)
+  }
 }
