@@ -335,6 +335,15 @@ object ContentNegotiation {
     SerializationFormatMimeTypes.collectFirst { case (f, m) if m == mime => f }
       .orElse(MediaOps.MimeFormat.get(mime))
 
+  /** Combined map across families — the reference's
+    * `ConvertableFormatMimeTypes` (EncodeTools.ts:398-403), serialization
+    * first (same precedence), with its inverse.
+    */
+  lazy val ConvertableFormatMimeTypes: Map[String, String] =
+    MediaOps.FormatMime ++ SerializationFormatMimeTypes
+  lazy val MimeTypesConvertableFormat: Map[String, String] =
+    ConvertableFormatMimeTypes.map(_.swap)
+
   /** Resolve `headers(key)` to a convertable format, or the fallback. */
   def headerToFormat(
       headers: Map[String, String],
@@ -347,4 +356,21 @@ object ContentNegotiation {
       .flatMap(mimeToFormat)
       .orElse(fallback)
   }
+
+  /** Family-restricted specializations (reference
+    * `headerToSerializationFormat` / `headerToImageFormat`,
+    * EncodeTools.ts:489-495): a MIME from the wrong family resolves to the
+    * fallback, not cross-family.
+    */
+  def headerToSerializationFormat(headers: Map[String, String], key: String,
+                                  fallback: Option[String] = None): Option[String] =
+    headerToFormat(headers, key, None)
+      .filter(SerializationFormatMimeTypes.contains)
+      .orElse(fallback)
+
+  def headerToImageFormat(headers: Map[String, String], key: String,
+                          fallback: Option[String] = None): Option[String] =
+    headerToFormat(headers, key, None)
+      .filter(MediaOps.FormatMime.contains)
+      .orElse(fallback)
 }

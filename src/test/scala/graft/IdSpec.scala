@@ -102,6 +102,22 @@ class IdSpec extends AnyFunSuite {
     ContentNegotiation.SerializationFormatMimeTypes.foreach { case (f, m) =>
       assert(ContentNegotiation.mimeToFormat(m) == Some(f))
     }
+    // combined map + inverse (ConvertableFormatMimeTypes law)
+    ContentNegotiation.ConvertableFormatMimeTypes.foreach { case (f, m) =>
+      if (f != "jpeg" || true) // jpeg/msgpack share no mimes; all invertible except aliases
+        assert(ContentNegotiation.MimeTypesConvertableFormat.get(m).nonEmpty)
+    }
+  }
+
+  test("family-restricted negotiation rejects cross-family mimes") {
+    import ContentNegotiation._
+    val ser = Map("content-type" -> "application/msgpack")
+    val img = Map("content-type" -> "image/png")
+    assert(headerToSerializationFormat(ser, "content-type") == Some("msgpack"))
+    assert(headerToSerializationFormat(img, "content-type", Some("json")) == Some("json"))
+    assert(headerToImageFormat(img, "content-type") == Some("png"))
+    assert(headerToImageFormat(ser, "content-type", Some("png")) == Some("png"))
+    assert(headerToImageFormat(ser, "content-type") == None)
   }
 
   test("IdGen.mint dispatches every IDFormat, fails closed on unknown") {
