@@ -7,6 +7,12 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import scala.jdk.CollectionConverters._
 
+/** Committing a snapshot version that already exists — the loser of a
+  * concurrent commit race must reload and retry, never clobber.
+  */
+final class SnapshotConflictException(msg: String)
+    extends java.io.IOException(msg)
+
 /** Per-partition lineage + metrics recorded in every snapshot. */
 final case class PartLineage(
     part_id: Int,
@@ -92,6 +98,15 @@ object ManifestIO {
     f.mkdirs(dir)
     val tmp = new Path(dir, f".v${s.version}%05d.json.tmp")
     val dst = new Path(dir, f"v${s.version}%05d.json")
+    // optimistic concurrency: a snapshot version is immutable once
+    // committed. On HDFS/object stores rename-to-existing fails atomically;
+    // the local filesystem's rename OVERWRITES, so a losing concurrent
+    // committer would silently clobber — fail closed on an existing
+    // version instead (Iceberg's commit-conflict semantics).
+    if (f.exists(dst))
+      throw new SnapshotConflictException(
+        s"snapshot v${s.version} already committed in $table — " +
+          "reload the latest snapshot and retry the commit")
     val out = f.create(tmp, true)
     try out.write(toJson(s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

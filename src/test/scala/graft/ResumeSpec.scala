@@ -130,4 +130,16 @@ class ResumeSpec extends AnyFunSuite {
     assert(s3.lineage.values.map(_.n_tokens).sum == srcSnap.lineage.values.map(_.n_tokens).sum)
     assert(s3.lineage.values.flatMap(_.codecs.keys).toSet == Set("plain"))
   }
+
+  test("concurrent snapshot commit loses cleanly (no silent clobber)") {
+    import org.apache.spark.sql.Encoders
+    val input = Fixtures.tokenTable(spark, 100L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_conflict").toString
+    val snap = ResumableEncodeJob.run(input, dir, EncodeOptions(numParts = 2))
+    // a racing committer writing the SAME version must fail closed
+    val racing = snap.copy(committedAtMillis = snap.committedAtMillis + 1)
+    intercept[SnapshotConflictException](ManifestIO.write(spark, dir, racing))
+    // the committed snapshot is untouched
+    assert(ManifestIO.latest(spark, dir).get.committedAtMillis == snap.committedAtMillis)
+  }
 }
