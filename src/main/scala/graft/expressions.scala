@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.expressions.BinaryExpression
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for the engine's canonicalize-then-digest
   * semantic (reference `hashObject`, EncodeTools.ts:1039-1047): XXH64
@@ -39,6 +40,62 @@ case class CanonicalXxh64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Executor-side kernels behind the native expressions: primitive ArrayData
+  * access, no per-element lambda dispatch.
+  */
+object SimKernels {
+  /** Cosine over float arrays with the EXACT arithmetic of the Column
+    * formula it replaces (per-element double products summed left to
+    * right, then / sqrt(aa) / sqrt(bb)) — same bits, so oracle-checked
+    * values are unchanged.
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      aa += x * x
+      bb += y * y
+      i += 1
+    }
+    dot / math.sqrt(aa) / math.sqrt(bb)
+  }
+}
+
+/** Native cosine similarity over two array<float> columns. Spark's
+  * higher-order functions (zip_with/aggregate) do not participate in
+  * whole-stage codegen and pay per-element lambda dispatch; this expression
+  * is one tight loop over the unsafe arrays inside generated code — the hot
+  * inner product of every ANN operator.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires (array<float>, array<float>), got " +
+        s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SimKernels.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.SimKernels.cosine($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration of engine SQL functions (the enum→dispatch surface of the
   * reference exposed to Spark SQL).
   */
@@ -47,6 +104,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "canonical_xxh64",
       (exprs: Seq[Expression]) => CanonicalXxh64(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1)),
       "built-in")
   }
 

@@ -21,9 +21,22 @@ object SimSearch {
 
   /** Cosine similarity between two float-array columns, computed in double
     * precision left-to-right (matches DuckDB's list_cosine_similarity
-    * accumulation for oracle comparison).
+    * accumulation for oracle comparison). Backed by the native codegen
+    * CosineSim expression (expressions.scala) — Spark's higher-order
+    * zip_with/aggregate pay per-element lambda dispatch outside
+    * whole-stage codegen; the kernel computes the IDENTICAL arithmetic, so
+    * every oracle-checked value is bit-unchanged (SimSearchSpec asserts
+    * equality against the Column formula).
     */
   def cosineCol(a: Column, b: Column): Column = {
+    GraftFunctions.register(org.apache.spark.sql.SparkSession.active) // idempotent
+    call_function("cosine_sim", a, b)
+  }
+
+  /** The pre-round-2 Column-only formula, kept as the independent
+    * cross-check for the native kernel (SimSearchSpec).
+    */
+  private[graft] def cosineColReference(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)

@@ -81,4 +81,23 @@ class SimSearchSpec extends AnyFunSuite {
     assert(hit.length == 1 && hit.head.getLong(2) == 7L)
     assert(math.abs(hit.head.getDouble(3) - 1.0) < 1e-9)
   }
+
+  test("native cosine_sim expression equals the Column formula bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(29)
+    val vecs = (0L until 400L).map(i =>
+      (i, Array.fill(64)(rng.nextGaussian().toFloat),
+          Array.fill(64)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "a", "b")
+    val rows = df.select(
+      SimSearch.cosineCol(col("a"), col("b")).as("native"),
+      SimSearch.cosineColReference(col("a"), col("b")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
 }
