@@ -39,6 +39,49 @@ object TokenTables {
     ).as[TokenRow](Encoders.product[TokenRow])
   }
 
+  /** Token-table schema fixed by BASELINE.json input_hint. */
+  val tokenSchema: org.apache.spark.sql.types.StructType =
+    Encoders.product[TokenRow].schema
+
+  /** JSONL source: one `{"doc_id":..,"tokens":[..],"n_tok":..,"source":..}`
+    * object per line — the interchange format crawl/tokenizer pipelines
+    * commonly emit. Schema-explicit (no inference pass over 100 TB).
+    */
+  def fromJsonl(spark: SparkSession, path: String): Dataset[TokenRow] =
+    spark.read.schema(tokenSchema).json(path).as[TokenRow](Encoders.product[TokenRow])
+
+  def toJsonl(ds: Dataset[TokenRow], path: String): Unit =
+    ds.toDF().write.mode("overwrite").json(path)
+
+  /** CSV source: tokens as a space-delimited field (CSV has no arrays);
+    * n_tok derived, so a malformed row cannot smuggle an inconsistent
+    * count into the engine.
+    */
+  def fromCsv(spark: SparkSession, path: String): Dataset[TokenRow] =
+    spark.read
+      .schema("doc_id STRING, tokens_str STRING, source STRING")
+      .option("header", "true")
+      .csv(path)
+      .select(
+        col("doc_id"),
+        // Spark's CSV reader yields NULL for empty unquoted fields — an
+        // empty token list must round-trip as [], not null
+        when(length(trim(coalesce(col("tokens_str"), lit("")))) === 0,
+          array().cast("array<int>"))
+          .otherwise(split(trim(col("tokens_str")), "\\s+").cast("array<int>"))
+          .as("tokens"),
+        col("source"))
+      .withColumn("n_tok", size(col("tokens")))
+      .select("doc_id", "tokens", "n_tok", "source")
+      .as[TokenRow](Encoders.product[TokenRow])
+
+  def toCsv(ds: Dataset[TokenRow], path: String): Unit =
+    ds.toDF()
+      .select(col("doc_id"),
+        concat_ws(" ", col("tokens").cast("array<string>")).as("tokens_str"),
+        col("source"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+
   /** DuckDB-SQL fragment computing the same digest columns the round-trip
     * queries return, directly from lineitem (no arrays needed: the token
     * terms are summed/min/maxed as scalars).

@@ -30,4 +30,27 @@ class SparkEntrySpec extends AnyFunSuite {
       assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("JSONL and CSV source adapters round-trip the token table") {
+    import org.apache.spark.sql.Encoders
+    val spark2 = SparkTestSession.spark
+    val rows = (0 until 200).map { i =>
+      TokenRow(f"j$i%04d", Array.tabulate(i % 7)(j => i * 31 + j), i % 7, s"s${i % 3}")
+    }
+    val ds = spark2.createDataset(rows)(Encoders.product[TokenRow])
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcfmt").toString
+    TokenTables.toJsonl(ds, s"$dir/jsonl")
+    val backJ = TokenTables.fromJsonl(spark2, s"$dir/jsonl")
+      .collect().map(r => r.doc_id -> (r.tokens.toSeq, r.n_tok, r.source)).toMap
+    assert(backJ == rows.map(r => r.doc_id -> (r.tokens.toSeq, r.n_tok, r.source)).toMap)
+    TokenTables.toCsv(ds, s"$dir/csv")
+    val backC = TokenTables.fromCsv(spark2, s"$dir/csv")
+      .collect().map(r => r.doc_id -> (r.tokens.toSeq, r.n_tok, r.source)).toMap
+    assert(backC == rows.map(r => r.doc_id -> (r.tokens.toSeq, r.n_tok, r.source)).toMap)
+    // and the engine consumes either source directly
+    val comp = TokenCompressor(EncodeOptions(numParts = 2, blockTokens = 64))
+    val dec = comp.decode(comp.encode(TokenTables.fromJsonl(spark2, s"$dir/jsonl")))
+      .collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
+    assert(dec == rows.map(r => r.doc_id -> r.tokens.toSeq).toMap)
+  }
 }
