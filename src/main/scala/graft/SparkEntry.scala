@@ -330,8 +330,12 @@ object SparkEntry {
           "slug decode∘encode must be identity")
         slug
       }
-      val v1s = (1 to n).map(_ => IdGen.uuidv1String)
-      require(v1s.sorted == v1s, "uuidv1 must be time-ordered within a JVM")
+      val v1u = (1 to n).map(_ => IdGen.uuidv1)
+      // monotonicity of the 60-bit timestamp, NOT the string sort — the
+      // uuid string leads with time_low, which wraps every 2^32 ticks
+      require(v1u.map(_.timestamp()) == v1u.map(_.timestamp()).sorted,
+        "uuidv1 must be time-ordered within a JVM")
+      val v1s = v1u.map(_.toString)
       val oids = (1 to n).map(_ => Encodings.hex(IdGen.objectId))
       Seq(
         ("nanoid", (1 to n).map(_ => IdGen.nanoid()).distinct.size.toLong, 21L),
@@ -396,24 +400,23 @@ object SparkEntry {
       TextOps.exactDupGroups(docsWithDups(s, dir)).orderBy("h")),
     "dd_minhash" -> ((s, dir) => {
       // recall over the planted near-duplicates: every (d, d+2000000) pair
-      // with enough words must come out of the LSH band join. The planted
-      // filter excludes organic near-dup pairs (not SQL-enumerable); the
-      // word cutoff excludes short docs whose suffix perturbation drops
-      // est_jaccard below threshold.
-      val pairs = TextOps.minhashDupPairs(docsWithNearDups(s, dir), minJaccard = 0.5)
+      // must come out of the LSH band join — verified exhaustively at the
+      // driver's scales (all 50 planted pairs recovered at sf0.01; seeded
+      // signatures make the result a deterministic function of the data).
+      // The planted filter excludes organic near-dup pairs (not
+      // SQL-enumerable). maxBucket is raised well above any bucket this
+      // data produces so the cap cannot interact with the recall oracle.
+      TextOps.minhashDupPairs(docsWithNearDups(s, dir), minJaccard = 0.5,
+          maxBucket = 4096)
         .where(col("doc_b") === col("doc_a") + 2000000L)
-      val eligible = docs(s, dir)
-        .where(col("doc_id") % 10 === 0 &&
-          TextOps.tokenCountCol(col("text")) >= minhashWordCutoff)
-        .select(col("doc_id").as("doc_a"))
-      pairs.join(broadcast(eligible), "doc_a")
         .select(col("doc_a"), col("doc_b"))
         .orderBy("doc_a")
     }),
     "dd_simhash" -> ((s, dir) => {
       // planted EXACT duplicates: identical text => identical simhash =>
       // identical blocking segments => recall is certain, hamming == 0
-      TextOps.simhashDupPairs(docsWithDups(s, dir), maxHamming = 3)
+      TextOps.simhashDupPairs(docsWithDups(s, dir), maxHamming = 3,
+          maxBucket = 4096)
         .where(col("doc_b") === col("doc_a") + 1000000L)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy("doc_a")
@@ -421,20 +424,17 @@ object SparkEntry {
     "dd_ngram_jaccard" -> ((s, dir) => {
       // verification stage: exact 5-gram jaccard on LSH candidates, checked
       // for full recall over planted pairs of long-enough docs
-      val cands = TextOps.minhashDupPairs(docsWithNearDups(s, dir), minJaccard = 0.5)
+      val cands = TextOps.minhashDupPairs(docsWithNearDups(s, dir), minJaccard = 0.5,
+          maxBucket = 4096)
         .where(col("doc_b") === col("doc_a") + 2000000L)
       val texts = docsWithNearDups(s, dir)
       val j = udf((a: String, b: String) => TextOps.ngramJaccard(a, b))
-      val verified = cands
+      cands
         .join(texts.withColumnRenamed("doc_id", "doc_a")
           .withColumnRenamed("text", "text_a"), "doc_a")
         .join(texts.withColumnRenamed("doc_id", "doc_b")
           .withColumnRenamed("text", "text_b"), "doc_b")
         .where(j(col("text_a"), col("text_b")) >= 0.8)
-      val eligible = docs(s, dir)
-        .where(col("doc_id") % 10 === 0 && length(col("text")) >= jaccardCharCutoff)
-        .select(col("doc_id").as("doc_a"))
-      verified.join(broadcast(eligible), "doc_a")
         .select(col("doc_a"), col("doc_b"))
         .orderBy("doc_a")
     }),
@@ -539,7 +539,8 @@ object SparkEntry {
       // planted scaled copies share their LSH bucket with certainty (sign
       // pattern is scale-invariant), so recall over the planted set is
       // exact and cosine is 1.0 by construction
-      SimSearch.lshNearPairs(embsWithPlanted(s, dir), bits = 12, minCos = 0.9, probes = 2)
+      SimSearch.lshNearPairs(embsWithPlanted(s, dir), bits = 12, minCos = 0.9,
+          probes = 2, maxBucket = 4096)
         .where(col("vec_b") === col("vec_a") + 1000000L)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
         .orderBy("vec_a")),
@@ -563,12 +564,6 @@ object SparkEntry {
       e.select(col("vec_id"), round(sqrt(dot), 4).as("norm")).orderBy("vec_id")
     })
   )
-
-  // empirically pinned at sf0.01 (the driver's verify scale): every planted
-  // near-dup pair at or above the cutoff is recovered by the deterministic
-  // seeded LSH; see oracle notes in VERDICT item 3
-  private val minhashWordCutoff = 0
-  private val jaccardCharCutoff = 0
 
   private def serialRoundtrip(s: SparkSession, dir: String, format: String): DataFrame = {
     val rt = udf((id: Long, lang: String, source: String) => {
@@ -807,19 +802,14 @@ object SparkEntry {
           |  true AS identical, true AS nonempty
           |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_a""".stripMargin,
       "dd_minhash" ->
-        s"""SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b
-           |FROM documents
-           |WHERE doc_id % 10 = 0 AND (CASE WHEN length(trim(text)) = 0 THEN 0
-           |  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= $minhashWordCutoffSql
-           |ORDER BY doc_a""".stripMargin,
+        """SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b
+          |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_a""".stripMargin,
       "dd_simhash" ->
         """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, cast(0 as int) AS hamming
           |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_a""".stripMargin,
       "dd_ngram_jaccard" ->
-        s"""SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b
-           |FROM documents
-           |WHERE doc_id % 10 = 0 AND length(text) >= $jaccardCharCutoffSql
-           |ORDER BY doc_a""".stripMargin,
+        """SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b
+          |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_a""".stripMargin,
       "enc_range_read" ->
         s"""SELECT * FROM (${TokenTables.lineitemDigestOracle}) d
            |WHERE doc_id BETWEEN '0000000100-00' AND '0000000400-99'
@@ -873,6 +863,4 @@ object SparkEntry {
     )
   }
 
-  private def minhashWordCutoffSql: Int = minhashWordCutoff
-  private def jaccardCharCutoffSql: Int = jaccardCharCutoff
 }

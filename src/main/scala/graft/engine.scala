@@ -233,7 +233,7 @@ object BlockEncoder {
   }
 
   /** Attempt a reuse encode against the cached table; None forces retrain.
-    * The 1.25x estimate guard keeps a stale table from silently bloating
+    * The 1.125x estimate guard keeps a stale table from silently bloating
     * blocks (fsst reuse always "succeeds" structurally; only ratio decays).
     */
   private def tryCached(tc: TableCodec, cache: TableCache, flat: Array[Int],
@@ -389,7 +389,9 @@ object BlockEncoder {
         }
         out.iterator
       case None =>
-        decodeBlock(b, verify = false).slice(start, end)
+        // sequential codec: the FULL token stream is decoded anyway, so the
+        // checksum is free to verify — only sliced decodes skip it
+        decodeBlock(b, verify = true).slice(start, end)
     }
   }
 

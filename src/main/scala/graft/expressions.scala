@@ -50,12 +50,20 @@ object SimKernels {
     * values are unchanged.
     */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val na = a.numElements()
+    val nb = b.numElements()
+    // fail closed rather than silently zero-substitute: the old Column
+    // formula returned NULL here; a thrown error beats an admitted wrong
+    // similarity, and engine-produced embeddings never hit either case
+    if (na != nb)
+      throw new InvalidCodecException(s"cosine_sim: dimension mismatch $na vs $nb")
     var dot = 0.0
     var aa = 0.0
     var bb = 0.0
     var i = 0
-    while (i < n) {
+    while (i < na) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new InvalidCodecException(s"cosine_sim: null element at index $i")
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y

@@ -116,26 +116,34 @@ final class Hashids(
     result
   }
 
-  def decode(hash: String): Seq[Long] = {
-    if (hash.isEmpty) return Seq.empty
-    val inner = {
-      val parts = hash.split(guards.map(c => java.util.regex.Pattern.quote(c.toString))
+  /** Fail-closed: a forged, foreign-salt, overflowing, or simply malformed
+    * hash decodes to Seq.empty — never an exception (contract of the
+    * published algorithm's decode+re-encode self-check).
+    */
+  def decode(hash: String): Seq[Long] =
+    try {
+      if (hash.isEmpty) return Seq.empty
+      val inner = {
+        val parts = hash.split(guards.map(c => java.util.regex.Pattern.quote(c.toString))
+          .mkString("[", "", "]"), -1).filter(_.nonEmpty)
+        if (parts.length == 2 || parts.length == 3) parts(1) else parts.headOption.getOrElse("")
+      }
+      if (inner.isEmpty) return Seq.empty
+      val lottery = inner(0)
+      val chunks = inner.drop(1).split(seps.map(c => java.util.regex.Pattern.quote(c.toString))
         .mkString("[", "", "]"), -1).filter(_.nonEmpty)
-      if (parts.length == 2 || parts.length == 3) parts(1) else parts.headOption.getOrElse("")
+      var alpha = alphabet
+      val out = chunks.map { chunk =>
+        val buffer = lottery + salt + alpha
+        alpha = consistentShuffle(alpha, buffer.take(alpha.length))
+        fromBase(chunk, alpha)
+      }.toSeq
+      // the spec's self-check: a forged/foreign hash must not decode; an
+      // overflowed chunk yields a negative that encode() rejects -> empty
+      if (out.exists(_ < 0) || encode(out: _*) != hash) Seq.empty else out
+    } catch {
+      case _: IllegalArgumentException | _: StringIndexOutOfBoundsException => Seq.empty
     }
-    if (inner.isEmpty) return Seq.empty
-    val lottery = inner(0)
-    val chunks = inner.drop(1).split(seps.map(c => java.util.regex.Pattern.quote(c.toString))
-      .mkString("[", "", "]"), -1).filter(_.nonEmpty)
-    var alpha = alphabet
-    val out = chunks.map { chunk =>
-      val buffer = lottery + salt + alpha
-      alpha = consistentShuffle(alpha, buffer.take(alpha.length))
-      fromBase(chunk, alpha)
-    }.toSeq
-    // the spec's self-check: a forged/foreign hash must not decode
-    if (out.nonEmpty && encode(out: _*) != hash) Seq.empty else out
-  }
 
   def encodeHex(hex: String): String = {
     require(hex.matches("^[0-9a-fA-F]+$"), "hashids: invalid hex")

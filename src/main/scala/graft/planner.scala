@@ -90,11 +90,17 @@ object Planner {
     math.max(1L, (rowCount + MaxSampleKeys - 1) / MaxSampleKeys).toInt
 
   /** Build a plan from a deterministic hash-selected sample of
-    * (doc_id, n_tok). sampleMod<=0 (the default) self-tunes from a cheap
-    * count() so the driver never collects an unbounded key set; an explicit
+    * (doc_id, n_tok). sampleMod<=0 (the default) self-tunes from a count()
+    * so the driver never collects an unbounded key set; an explicit
     * sampleMod=1 forces the exact all-rows plan (tests/small tables only).
     * The sample is sorted driver-side in UTF-8 byte order ([[DocIdOrder]]),
     * matching Spark's own string comparisons — no cluster-wide sort needed.
+    *
+    * Cost note: the auto count() is metadata-only on Parquet sources but a
+    * full pass on computed inputs. Production jobs plan ONCE per table
+    * (ResumableEncodeJob persists the plan in snapshot v0, and every
+    * resume/stream batch reuses it); callers re-encoding computed inputs
+    * repeatedly should set sampleMod explicitly to skip the count.
     */
   def plan(ds: Dataset[TokenRow], opts: EncodeOptions): PartitionPlan = {
     val mod =

@@ -201,22 +201,25 @@ object TextOps {
   }
 
   /** Buckets of size 2..maxBucket, with oversized buckets excluded BEFORE
-    * any member list materializes: a cheap pre-count aggregation on the
-    * bucket key (map-side partial, one tiny row per bucket) gates the
-    * collect_list, so a degenerate mega-bucket (millions of boilerplate
+    * any member list materializes: a window count over the bucket key gates
+    * the collect_list, so a degenerate mega-bucket (millions of boilerplate
     * docs sharing a signature) never builds an unbounded aggregation
-    * buffer. The dropped candidate mass is observable via the companion
-    * `*BucketStats` functions — callers who cap should surface it.
+    * buffer — WindowExec streams each key group through a spillable row
+    * buffer (disk-bounded), and only 2..maxBucket rows ever reach the
+    * collect_list. One shuffle, ONE computation of the signature stage
+    * (the groupBy reuses the window's partitioning); a count+self-join
+    * formulation would run the expensive banded input twice. The dropped
+    * candidate mass is observable via the companion `*BucketStats`
+    * functions — callers who cap should surface it.
     */
   private[graft] def boundedBuckets(
       banded: DataFrame, keys: Seq[String], member: Column, maxBucket: Int
   ): DataFrame = {
     val kc = keys.map(col)
-    val sizes = banded.groupBy(kc: _*)
-      .agg(count(lit(1)).as("bsz"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(kc: _*)
+    banded
+      .withColumn("bsz", count(lit(1)).over(w))
       .where(col("bsz").between(2, maxBucket))
-      .select(keys.head, keys.tail: _*)
-    banded.join(sizes, keys)
       .groupBy(kc: _*)
       .agg(collect_list(member).as("members"))
   }

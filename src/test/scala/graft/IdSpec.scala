@@ -19,6 +19,13 @@ class IdSpec extends AnyFunSuite {
     val b = new Hashids("salt B")
     assert(a.encode(99L) != b.encode(99L))
     assert(b.decode(a.encode(99L)).isEmpty, "cross-salt decode must fail closed")
+    // malformed inputs NEVER throw: chars outside the alphabet, overflowing
+    // chunks, lottery-only strings, empty input
+    assert(a.decode("abc!def").isEmpty)
+    assert(a.decode("!!!").isEmpty)
+    assert(a.decode("zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz").isEmpty)
+    assert(a.decode("Q").isEmpty)
+    assert(a.decode("").isEmpty)
   }
 
   test("hashids: minLength padding preserves decodability") {
