@@ -86,23 +86,29 @@ object SimSearch {
     sig
   }
 
+  /** Signatures persisted pre-expansion (MEMORY_AND_DISK) so
+    * TextOps.boundedBuckets' count pass and group pass share one
+    * hyperplane-projection computation; the multi-probe bucket expansion
+    * (base signature plus 1-bit flips) is cheap codegen over the cache.
+    */
   private def lshBanded(corpus: DataFrame, bits: Int, probes: Int,
                         dim: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(hyperplanes(bits, dim))
-    corpus.select(col("vec_id").cast("long"), col("embedding"))
+    val sigs = corpus.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val pl = planes.value
-        it.flatMap { case (id, v) =>
-          val s = signature(v, pl)
-          val base = (0, id, s, v)
-          val flips = (0 until probes).map(b => (b + 1, id, s ^ (1L << b), v))
-          (Seq(base) ++ flips).map { case (probe, i, sg, vv) => (i, sg, vv) }
-        }
+        it.map { case (id, v) => (id, signature(v, pl), v) }
       }
-      .toDF("vec_id", "bucket", "embedding")
+      .toDF("vec_id", "sig", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flipMasks = lit(0L) +: (0 until probes).map(b => lit(1L << b))
+    sigs.select(
+      col("vec_id"),
+      explode(array(flipMasks.map(m => col("sig").bitwiseXOR(m)): _*)).as("bucket"),
+      col("embedding"))
   }
 
   /** Dropped-mass accounting for the LSH maxBucket cap (same contract as

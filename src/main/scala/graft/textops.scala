@@ -181,9 +181,14 @@ object TextOps {
   }
 
   /** Doc ids + banded minhash bucket keys — shared by the pair generator
-    * and [[minhashBucketStats]].
+    * and [[minhashBucketStats]]. The signature stage (the expensive
+    * text→minhash map) is persisted MEMORY_AND_DISK so [[boundedBuckets]]'s
+    * count pass and group pass share one computation; the cache is ~0.5 KB
+    * per doc (id + k longs), orders of magnitude smaller than the text it
+    * replaces. Callers running in a long-lived session can release it with
+    * `spark.catalog.clearCache()`.
     */
-  private def minhashBanded(df: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def minhashBanded(df: DataFrame, k: Int, bands: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rowsPerBand = k / bands
@@ -192,6 +197,7 @@ object TextOps {
         (id, minhashSignature(shingleHashes(text), k))
       })
       .toDF("doc_id", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.select(
       col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band")
@@ -201,27 +207,44 @@ object TextOps {
   }
 
   /** Buckets of size 2..maxBucket, with oversized buckets excluded BEFORE
-    * any member list materializes: a window count over the bucket key gates
-    * the collect_list, so a degenerate mega-bucket (millions of boilerplate
-    * docs sharing a signature) never builds an unbounded aggregation
-    * buffer — WindowExec streams each key group through a spillable row
-    * buffer (disk-bounded), and only 2..maxBucket rows ever reach the
-    * collect_list. One shuffle, ONE computation of the signature stage
-    * (the groupBy reuses the window's partitioning); a count+self-join
-    * formulation would run the expensive banded input twice. The dropped
-    * candidate mass is observable via the companion `*BucketStats`
-    * functions — callers who cap should surface it.
+    * any member row is shuffled on the bucket key. Formulation (hot-key
+    * safe in WALL-TIME, not just memory):
+    *
+    *  1. per-key count aggregate — hash partial aggregation means a
+    *     degenerate mega-key (10^9 boilerplate docs sharing one signature)
+    *     costs ONE row per map task, never one task's worth of sorting;
+    *  2. the rare oversized keys broadcast as a left-anti filter, so the
+    *     mega-key's rows are dropped map-side and never reach the group
+    *     exchange — no single WindowExec/sort task ever serializes the hot
+    *     key (the round-2 formulation was memory-bounded via window spill
+    *     but still serialized the key through one task);
+    *  3. groupBy + collect_list with every surviving buffer <= maxBucket;
+    *     singletons pass through as 1-element partial buffers and are
+    *     filtered after the agg.
+    *
+    * The two passes over `banded` do NOT recompute the expensive
+    * text→signature map: every producer ([[minhashBanded]],
+    * [[simhashBanded]], SimSearch.lshBanded) persists its signature stage,
+    * so pass 1 populates the cache and pass 2 replays cheap codegen
+    * (explode + hash) over it. The oversized set is bounded by
+    * rows/maxBucket and in practice near-empty; if an adversarial input
+    * ever produced a non-broadcastable number of oversized keys, the
+    * BroadcastExchange fails loudly instead of silently stranding a
+    * multi-hour straggler. Dropped candidate mass is observable via the
+    * companion `*BucketStats` functions — callers who cap should surface it.
     */
   private[graft] def boundedBuckets(
       banded: DataFrame, keys: Seq[String], member: Column, maxBucket: Int
   ): DataFrame = {
     val kc = keys.map(col)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(kc: _*)
+    val oversized = banded.groupBy(kc: _*).agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucket)
+      .select(kc: _*)
     banded
-      .withColumn("bsz", count(lit(1)).over(w))
-      .where(col("bsz").between(2, maxBucket))
+      .join(broadcast(oversized), keys, "left_anti")
       .groupBy(kc: _*)
       .agg(collect_list(member).as("members"))
+      .where(size(col("members")) >= 2)
   }
 
   /** Per-run accounting of what the maxBucket cap dropped: one row with
@@ -261,14 +284,12 @@ object TextOps {
     val buckets = boundedBuckets(banded, Seq("band", "bucket"),
       struct(col("doc_id"), col("sig")), maxBucket)
     val pairs = buckets.select(explode(expr(
-      """filter(
-        |  flatten(transform(members, (m, i) ->
-        |    transform(slice(members, i + 2, size(members)), n ->
-        |      struct(least(m.doc_id, n.doc_id) as doc_a,
-        |             greatest(m.doc_id, n.doc_id) as doc_b,
-        |             cast(size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), b -> b)) as double)
-        |               / size(m.sig) as est_jaccard)))),
-        |  p -> p.est_jaccard >= 0)""".stripMargin)).as("p"))
+      """flatten(transform(members, (m, i) ->
+        |  transform(slice(members, i + 2, size(members)), n ->
+        |    struct(least(m.doc_id, n.doc_id) as doc_a,
+        |           greatest(m.doc_id, n.doc_id) as doc_b,
+        |           cast(size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), b -> b)) as double)
+        |             / size(m.sig) as est_jaccard))))""".stripMargin)).as("p"))
       .select("p.doc_a", "p.doc_b", "p.est_jaccard")
       .where(col("est_jaccard") >= minJaccard)
       .dropDuplicates("doc_a", "doc_b")
@@ -327,6 +348,8 @@ object TextOps {
     val sigs = df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, simhash(t)) })
       .toDF("doc_id", "sim")
+      // shared by boundedBuckets' count + group passes, like minhashBanded
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.select(col("doc_id"), col("sim"),
       explode(sequence(lit(0), lit(nSeg - 1))).as("s"))
       .withColumn("lo", element_at(lit(los), col("s") + 1))

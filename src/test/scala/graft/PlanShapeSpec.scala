@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pins the physical-plan shape of the load-bearing pipelines so plan drift
+  * fails tests instead of silently regressing scale behavior (round-2
+  * verdict item 4). PLANS.md is regenerated from `runMain graft.PlanCheck`;
+  * this spec asserts the same operators appear in the live plans.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def docsDf = {
+    import spark.implicits._
+    (0L until 64L).map(i => (i, s"document number $i with some shared words"))
+      .toDF("doc_id", "text")
+  }
+
+  test("minhashDupPairs: broadcast anti-join gate, no Window straggler path") {
+    val plan = planOf(TextOps.minhashDupPairs(docsDf))
+    // the round-2 window-count gate serialized a degenerate hot key through
+    // ONE WindowExec task; the round-3 formulation must not reintroduce it
+    assert(!plan.contains("Window"), s"window gate reappeared:\n$plan")
+    // oversized keys are filtered via a broadcast LEFT ANTI join, so the hot
+    // key never reaches the group exchange
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"broadcast anti gate missing:\n$plan")
+    // the member rows are shuffled exactly once (the group exchange); the
+    // count side adds one tiny post-partial-agg exchange
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"collect_list aggregate missing:\n$plan")
+  }
+
+  test("simhashDupPairs and lshNearPairs share the anti-join gate shape") {
+    import spark.implicits._
+    val sim = planOf(TextOps.simhashDupPairs(docsDf))
+    assert(!sim.contains("Window") && sim.contains("LeftAnti"), sim)
+    val vecs = (0L until 32L)
+      .map(i => (i, Array.tabulate(8)(d => (math.sin(i * 8 + d)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val lsh = planOf(SimSearch.lshNearPairs(vecs, bits = 8, dim = 8))
+    assert(!lsh.contains("Window") && lsh.contains("LeftAnti"), lsh)
+  }
+
+  test("boundedBuckets count pass reuses the persisted signature stage") {
+    val banded = TextOps.minhashBanded(docsDf, k = 64, bands = 16)
+    val gated = TextOps.boundedBuckets(banded, Seq("band", "bucket"),
+      struct(col("doc_id")), maxBucket = 64)
+    // both passes must hang off one InMemoryRelation (signature cache), so
+    // the expensive text->signature map runs once, not twice
+    val analyzed = gated.queryExecution.withCachedData.toString
+    assert(analyzed.contains("InMemoryRelation"),
+      s"signature stage not cached:\n$analyzed")
+    banded.sparkSession.catalog.clearCache()
+  }
+
+  test("encode pipeline: exactly one exchange, identity part routing") {
+    val ds = Fixtures.tokenTable(spark, 400L)
+    val opts = EncodeOptions(numParts = 4, blockTokens = 1 << 12)
+    val plan = Planner.plan(ds, opts)
+    val p = planOf(TokenCompressor(opts).encodeWithPlan(ds, plan, None).toDF())
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"encode pipeline must shuffle exactly once:\n$p")
+  }
+
+  test("bruteForceTopK broadcasts the query side; corpus scanned once") {
+    import spark.implicits._
+    val vecs = (0L until 32L)
+      .map(i => (i, Array.tabulate(8)(d => (math.cos(i * 8 + d)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = planOf(SimSearch.bruteForceTopK(vecs, vecs.limit(4), k = 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$p")
+  }
+}
