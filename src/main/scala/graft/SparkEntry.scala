@@ -330,6 +330,46 @@ object SparkEntry {
     }),
     "s_msgpack_roundtrip" -> ((s, dir) => serialRoundtrip(s, dir, "msgpack")),
     "s_cbor_roundtrip" -> ((s, dir) => serialRoundtrip(s, dir, "cbor")),
+    "s_bson_roundtrip" -> ((s, dir) => serialRoundtrip(s, dir, "bson")),
+    "s_bson_vectors" -> ((s, dir) => {
+      // wire-level oracle: the two PUBLISHED example documents from
+      // bsonspec.org ("hello world" and the BSON-is-awesome array) must
+      // encode to exactly the spec's bytes
+      import s.implicits._
+      val enc = udf((i: Int) => {
+        val v: Map[String, Any] =
+          if (i == 0) Map("hello" -> "world")
+          else Map("BSON" -> Vector("awesome", 5.05, 1986L))
+        val b = Bson.encode(v)
+        val ok = Bson.decode(b) == v // decoded Longs: 1986 (int32) -> 1986L
+        (Encodings.hex(b), ok)
+      })
+      Seq(0, 1).toDF("i")
+        .select(col("i"), enc(col("i")).as("o"))
+        .select(col("i"), col("o._1").as("bson_hex"), col("o._2").as("rt_ok"))
+        .orderBy("i")
+    }),
+    "s_json5_roundtrip" -> ((s, dir) => {
+      // decode-side leniency exercised for real: comments, unquoted keys,
+      // single quotes, hex integers, trailing comma — parsed back to the
+      // original row values
+      val rt = udf((id: Long, lang: String, source: String) => {
+        val j5 =
+          s"""{ // line comment
+             |  doc_id: 0x${java.lang.Long.toHexString(id)}, /* block */
+             |  'lang': '$lang',
+             |  source: "$source",
+             |}""".stripMargin
+        val back = Json5.parse(j5).asInstanceOf[Map[String, Any]]
+        (back("doc_id").asInstanceOf[Long], back("lang").toString,
+          back("source").toString)
+      })
+      docs(s, dir)
+        .select(rt(col("doc_id"), col("lang"), col("source")).as("o"))
+        .select(col("o._1").as("doc_id"), col("o._2").as("lang"),
+          col("o._3").as("source"))
+        .orderBy("doc_id")
+    }),
 
     // --- compression (reference §2.5) ---
     "c_zstd_roundtrip" -> ((s, dir) => {
@@ -789,6 +829,15 @@ object SparkEntry {
         "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
       "s_cbor_roundtrip" ->
         "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
+      "s_bson_roundtrip" ->
+        "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
+      "s_json5_roundtrip" ->
+        "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
+      "s_bson_vectors" ->
+        """SELECT * FROM (VALUES
+          |  (0, '160000000268656c6c6f0006000000776f726c640000', true),
+          |  (1, '310000000442534f4e002600000002300008000000617765736f6d65000131003333333333331440103200c20700000000', true)
+          |) t(i, bson_hex, rt_ok) ORDER BY i""".stripMargin,
       "c_zstd_roundtrip" ->
         "SELECT doc_id, md5(text) AS m FROM documents ORDER BY doc_id",
       "c_lzma_roundtrip" ->

@@ -29,6 +29,9 @@ final case class PartLineage(
 /** One committed snapshot of the encoded table. `streamBatchId` is the
   * highest streaming micro-batch folded in (None for pure-batch tables);
   * replayed foreachBatch invocations with id <= this are skipped.
+  * `ivfCentroids` persists a trained IVF coarse quantizer (k x dim unit
+  * vectors) so the ANN index is resumable/time-travelable like the table
+  * itself and queries skip retraining (see [[IvfIndex]]).
   */
 final case class Snapshot(
     version: Int,
@@ -36,7 +39,8 @@ final case class Snapshot(
     plan: PartitionPlan,
     committed: Set[Int],
     lineage: Map[Int, PartLineage],
-    streamBatchId: Option[Long] = None
+    streamBatchId: Option[Long] = None,
+    ivfCentroids: Option[Array[Array[Double]]] = None
 )
 
 /** Iceberg-style append-only snapshot log over partitioned Parquet.
@@ -126,6 +130,10 @@ object ManifestIO {
     val oa = p.putArray("partOffset"); s.plan.partOffset.foreach(oa.add)
     p.put("numParts", s.plan.numParts)
     val ca = root.putArray("committed"); s.committed.toSeq.sorted.foreach(ca.add)
+    s.ivfCentroids.foreach { cents =>
+      val ia = root.putArray("ivf_centroids")
+      cents.foreach { c => val row = ia.addArray(); c.foreach(row.add) }
+    }
     val ln = root.putObject("lineage")
     s.lineage.toSeq.sortBy(_._1).foreach { case (k, l) =>
       val o = ln.putObject(k.toString)
@@ -175,7 +183,9 @@ object ManifestIO {
       plan,
       root.get("committed").elements().asScala.map(_.asInt).toSet,
       lineage,
-      Option(root.get("stream_batch_id")).map(_.asLong)
+      Option(root.get("stream_batch_id")).map(_.asLong),
+      Option(root.get("ivf_centroids")).map(_.elements().asScala
+        .map(row => row.elements().asScala.map(_.asDouble).toArray).toArray)
     )
   }
 }

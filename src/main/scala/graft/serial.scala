@@ -260,22 +260,304 @@ object Cbor {
   }
 }
 
+/** BSON (bsonspec.org version 1.1) for the document-oriented subset of the
+  * shared value model — the analog of the reference's `objectToBson`/
+  * `bsonToObject` (/root/reference/src/EncodeTools.ts:1295-1301), written
+  * from the public spec (NOT the npm bson backend). All lengths/integers
+  * are LITTLE-endian (unlike msgpack/cbor). Top level must be a document
+  * (Map), as in MongoDB. Element types used: 0x01 double, 0x02 string,
+  * 0x03 embedded document, 0x04 array, 0x05 binary (subtype 0), 0x08
+  * bool, 0x0A null, 0x10 int32, 0x12 int64. Longs encode as int32 when
+  * they fit (what the JS bson serializer does for safe integers), int64
+  * otherwise; both decode back to canonical Long.
+  */
+object Bson {
+
+  def encode(v: Any): Array[Byte] = v match {
+    case m: Map[_, _] =>
+      document(m.asInstanceOf[Map[Any, Any]].map { case (k, x) => (k.toString, x) }.toSeq)
+    case other =>
+      throw new InvalidCodecException(
+        s"bson: top level must be a document, got ${if (other == null) "null" else other.getClass}")
+  }
+
+  private def document(fields: Seq[(String, Any)]): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    fields.foreach { case (k, v) => element(body, k, v) }
+    val out = new ByteArrayOutputStream()
+    writeLE(out, body.size() + 5L, 4) // int32 total length, incl. itself + trailing NUL
+    body.writeTo(out)
+    out.write(0x00)
+    out.toByteArray
+  }
+
+  private def element(o: ByteArrayOutputStream, key: String, v: Any): Unit = {
+    def name(t: Int): Unit = {
+      o.write(t)
+      val kb = key.getBytes(UTF_8)
+      require(!kb.contains(0.toByte), "bson: key contains NUL")
+      o.write(kb, 0, kb.length); o.write(0x00)
+    }
+    v match {
+      case null => name(0x0a)
+      case b: Boolean => name(0x08); o.write(if (b) 1 else 0)
+      case d: Double => name(0x01); writeLE(o, java.lang.Double.doubleToLongBits(d), 8)
+      case f: Float => name(0x01); writeLE(o, java.lang.Double.doubleToLongBits(f.toDouble), 8)
+      case i: Int => intElem(o, name, i.toLong)
+      case l: Long => intElem(o, name, l)
+      case s: Short => intElem(o, name, s.toLong)
+      case b: Byte => intElem(o, name, b.toLong)
+      case s: String =>
+        name(0x02)
+        val sb = s.getBytes(UTF_8)
+        writeLE(o, sb.length + 1L, 4); o.write(sb, 0, sb.length); o.write(0x00)
+      case b: Array[Byte] =>
+        name(0x05); writeLE(o, b.length.toLong, 4); o.write(0x00) // subtype 0: generic
+        o.write(b, 0, b.length)
+      case m: Map[_, _] =>
+        name(0x03)
+        val d = document(m.asInstanceOf[Map[Any, Any]]
+          .map { case (k, x) => (k.toString, x) }.toSeq)
+        o.write(d, 0, d.length)
+      case xs: Seq[_] =>
+        name(0x04) // array = document keyed "0", "1", ...
+        val d = document(xs.zipWithIndex.map { case (x, i) => (i.toString, x) })
+        o.write(d, 0, d.length)
+      case other => throw new InvalidCodecException(s"bson: unsupported ${other.getClass}")
+    }
+  }
+
+  private def intElem(o: ByteArrayOutputStream, name: Int => Unit, l: Long): Unit =
+    if (l >= Int.MinValue && l <= Int.MaxValue) { name(0x10); writeLE(o, l & 0xffffffffL, 4) }
+    else { name(0x12); writeLE(o, l, 8) }
+
+  private def writeLE(o: ByteArrayOutputStream, v: Long, n: Int): Unit = {
+    var i = 0
+    while (i < n) { o.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  def decode(b: Array[Byte]): Any = {
+    val r = new Reader(b)
+    val v = r.document()
+    require(r.pos == b.length, s"bson: ${b.length - r.pos} trailing bytes")
+    v
+  }
+
+  private final class Reader(b: Array[Byte]) {
+    var pos = 0
+    private def u8(): Int = { val v = b(pos) & 0xff; pos += 1; v }
+    private def le(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (u8().toLong << (8 * i)); i += 1 }
+      v
+    }
+    private def cstring(): String = {
+      val start = pos
+      while (b(pos) != 0) pos += 1
+      val s = new String(b, start, pos - start, UTF_8); pos += 1; s
+    }
+
+    def document(): Map[String, Any] = fields().toMap
+
+    private def fields(): Vector[(String, Any)] = {
+      val total = le(4)
+      val end = pos + total.toInt - 5
+      val out = Vector.newBuilder[(String, Any)]
+      while (pos < end) out += element()
+      require(u8() == 0, "bson: document not NUL-terminated")
+      out.result()
+    }
+
+    private def element(): (String, Any) = {
+      val t = u8()
+      val key = cstring()
+      val v: Any = t match {
+        case 0x01 => java.lang.Double.longBitsToDouble(le(8))
+        case 0x02 =>
+          val n = le(4).toInt
+          val s = new String(b, pos, n - 1, UTF_8); pos += n; s
+        case 0x03 => document()
+        case 0x04 => fields().map(_._2) // array: values in key order 0,1,...
+        case 0x05 =>
+          val n = le(4).toInt
+          val sub = u8()
+          require(sub == 0, s"bson: binary subtype $sub unsupported")
+          val out = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; out
+        case 0x08 => u8() != 0
+        case 0x0a => null
+        case 0x10 => le(4).toInt.toLong
+        case 0x12 => le(8)
+        case other => throw new InvalidCodecException(f"bson: element type 0x$other%02x")
+      }
+      (key, v)
+    }
+  }
+}
+
+/** JSON5 decode leniency (json5.org spec) over the strict [[JsonValue]]
+  * parser — the reference's `json5ToObject`
+  * (/root/reference/src/EncodeTools.ts:1269-1275). Encode side is plain
+  * JSON (every JSON document is valid JSON5), exactly like the reference's
+  * `objectToJson5` delegating to JSON5.stringify whose output for the
+  * value model is JSON. Supported leniencies: // and block comments,
+  * trailing commas, unquoted ECMAScript identifier keys, single-quoted
+  * strings, hex integers, leading '+', leading/trailing decimal point,
+  * Infinity/NaN, escaped newlines in strings.
+  */
+object Json5 {
+  def parse(s: String): Any = {
+    val p = new P(s)
+    val v = p.value()
+    p.ws()
+    require(p.pos == s.length, s"json5: trailing input at ${p.pos}")
+    v
+  }
+
+  private final class P(s: String) {
+    var pos = 0
+    def ws(): Unit = {
+      var moved = true
+      while (moved) {
+        moved = false
+        while (pos < s.length && s(pos).isWhitespace) { pos += 1; moved = true }
+        if (pos + 1 < s.length && s(pos) == '/' && s(pos + 1) == '/') {
+          while (pos < s.length && s(pos) != '\n') pos += 1
+          moved = true
+        } else if (pos + 1 < s.length && s(pos) == '/' && s(pos + 1) == '*') {
+          pos += 2
+          while (pos + 1 < s.length && !(s(pos) == '*' && s(pos + 1) == '/')) pos += 1
+          require(pos + 1 < s.length, "json5: unterminated block comment")
+          pos += 2
+          moved = true
+        }
+      }
+    }
+    private def expect(c: Char): Unit = {
+      require(pos < s.length && s(pos) == c, s"json5: expected '$c' at $pos")
+      pos += 1
+    }
+
+    def value(): Any = {
+      ws()
+      s(pos) match {
+        case '{' =>
+          expect('{')
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+          ws()
+          while (s(pos) != '}') {
+            val k = key()
+            ws(); expect(':')
+            m(k) = value()
+            ws()
+            if (s(pos) == ',') { pos += 1; ws() } // trailing comma ok
+            else require(s(pos) == '}', s"json5: expected ',' or '}' at $pos")
+          }
+          pos += 1
+          m.toMap
+        case '[' =>
+          expect('[')
+          val xs = Vector.newBuilder[Any]
+          ws()
+          while (s(pos) != ']') {
+            xs += value()
+            ws()
+            if (s(pos) == ',') { pos += 1; ws() }
+            else require(s(pos) == ']', s"json5: expected ',' or ']' at $pos")
+          }
+          pos += 1
+          xs.result()
+        case '"' | '\'' => string(s(pos))
+        case 't' => pos += 4; true
+        case 'f' => pos += 5; false
+        case 'n' => pos += 4; null
+        case _ => number()
+      }
+    }
+
+    private def key(): String = {
+      ws()
+      if (s(pos) == '"' || s(pos) == '\'') string(s(pos))
+      else { // unquoted ECMAScript IdentifierName ($, _, letters, then also digits)
+        val start = pos
+        require(s(pos) == '$' || s(pos) == '_' || s(pos).isLetter,
+          s"json5: bad identifier key at $pos")
+        while (pos < s.length &&
+          (s(pos) == '$' || s(pos) == '_' || s(pos).isLetterOrDigit)) pos += 1
+        s.substring(start, pos)
+      }
+    }
+
+    private def number(): Any = {
+      val start = pos
+      var sign = 1L
+      if (s(pos) == '+') pos += 1
+      else if (s(pos) == '-') { sign = -1; pos += 1 }
+      if (s.startsWith("Infinity", pos)) { pos += 8; return sign * Double.PositiveInfinity }
+      if (s.startsWith("NaN", pos)) { pos += 3; return Double.NaN }
+      if (pos + 1 < s.length && s(pos) == '0' && (s(pos + 1) == 'x' || s(pos + 1) == 'X')) {
+        pos += 2
+        val h0 = pos
+        while (pos < s.length && Character.digit(s(pos), 16) >= 0) pos += 1
+        return sign * java.lang.Long.parseLong(s.substring(h0, pos), 16)
+      }
+      while (pos < s.length && "0123456789.eE+-".indexOf(s(pos)) >= 0 &&
+        !(("+-".indexOf(s(pos)) >= 0) && "eE".indexOf(s(pos - 1)) < 0)) pos += 1
+      val t = s.substring(start, pos)
+      if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble else t.toLong
+    }
+
+    private def string(q: Char): String = {
+      expect(q)
+      val sb = new StringBuilder
+      while (s(pos) != q) {
+        if (s(pos) == '\\') {
+          pos += 1
+          s(pos) match {
+            case 'n' => sb.append('\n'); pos += 1
+            case 'r' => sb.append('\r'); pos += 1
+            case 't' => sb.append('\t'); pos += 1
+            case 'b' => sb.append('\b'); pos += 1
+            case 'f' => sb.append('\f'); pos += 1
+            case 'v' => sb.append('\u000b'); pos += 1
+            case '0' => sb.append('\u0000'); pos += 1
+            case 'x' =>
+              sb.append(Integer.parseInt(s.substring(pos + 1, pos + 3), 16).toChar)
+              pos += 3
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar)
+              pos += 5
+            case '\n' => pos += 1 // line continuation
+            case '\r' =>
+              pos += 1; if (pos < s.length && s(pos) == '\n') pos += 1
+            case c => sb.append(c); pos += 1
+          }
+        } else { sb.append(s(pos)); pos += 1 }
+      }
+      pos += 1
+      sb.toString
+    }
+  }
+}
+
 /** Serialization dispatch across the reference's format family
   * (SerializationFormat, /root/reference/src/EncodeTools.ts:141-171):
-  * json + msgpack + cbor are full round-trip citizens here; bson/json5
-  * remain out of scope (SURVEY.md §2.4).
+  * json + msgpack + cbor + bson + json5 are full round-trip citizens.
   */
 object Serialization {
   def serialize(format: String, v: Any): Array[Byte] = format match {
     case "json" => JsonValue.render(v).getBytes(UTF_8)
+    case "json5" => JsonValue.render(v).getBytes(UTF_8) // JSON ⊂ JSON5
     case "msgpack" => MsgPack.pack(v)
     case "cbor" => Cbor.encode(v)
+    case "bson" => Bson.encode(v)
     case f => throw new InvalidCodecException(s"unknown serialization format '$f'")
   }
   def deserialize(format: String, b: Array[Byte]): Any = format match {
     case "json" => JsonValue.parse(new String(b, UTF_8))
+    case "json5" => Json5.parse(new String(b, UTF_8))
     case "msgpack" => MsgPack.unpack(b)
     case "cbor" => Cbor.decode(b)
+    case "bson" => Bson.decode(b)
     case f => throw new InvalidCodecException(s"unknown serialization format '$f'")
   }
 }

@@ -242,6 +242,52 @@ object SimSearch {
     cents
   }
 
+  /** The coarse quantizer persisted in a snapshot manifest: train once,
+    * commit, reload forever — queries against a reloaded index run ZERO
+    * training jobs (the load is one driver-side metadata read), and old
+    * index versions stay addressable via snapshot time travel exactly like
+    * the token table (round-2 verdict item 7).
+    */
+  object IvfIndex {
+
+    /** Train on `corpus` and commit the centroids as a new snapshot of
+      * `table` (creating the table's snapshot log if absent).
+      */
+    def build(corpus: DataFrame, table: String, kCells: Int = 16,
+              iters: Int = 4): Array[Array[Double]] = {
+      val spark = corpus.sparkSession
+      val cents = ivfCentroids(corpus, kCells, iters)
+      val next = ManifestIO.latest(spark, table) match {
+        case Some(s) => s.copy(version = s.version + 1,
+          committedAtMillis = System.currentTimeMillis(),
+          ivfCentroids = Some(cents))
+        case None => Snapshot(0, System.currentTimeMillis(),
+          PartitionPlan(Array.empty, Array.empty, Array.empty, 0),
+          Set.empty, Map.empty, None, Some(cents))
+      }
+      ManifestIO.write(spark, table, next)
+      cents
+    }
+
+    /** Load committed centroids (latest, or time-traveled to `asOfVersion`).
+      * Driver-side only — no Spark job.
+      */
+    def load(spark: org.apache.spark.sql.SparkSession, table: String,
+             asOfVersion: Option[Int] = None): Option[Array[Array[Double]]] =
+      asOfVersion.map(v => ManifestIO.at(spark, table, v))
+        .getOrElse(ManifestIO.latest(spark, table))
+        .flatMap(_.ivfCentroids)
+
+    /** IVF top-k against the PERSISTED index — no training job. */
+    def topK(corpus: DataFrame, queries: DataFrame, table: String,
+             k: Int = 5, nprobe: Int = 2,
+             asOfVersion: Option[Int] = None): DataFrame = {
+      val cents = load(corpus.sparkSession, table, asOfVersion).getOrElse(
+        throw new IllegalStateException(s"no committed IVF centroids in $table"))
+      ivfTopK(corpus, queries, k, cents.length, nprobe, Some(cents))
+    }
+  }
+
   /** IVF top-k: each query probes its `nprobe` nearest cells and ranks
     * exactly inside them. The corpus is scanned ONCE and never shuffled:
     * the (query x probe-cell) side is tiny and broadcasts, exact cosine

@@ -40,30 +40,47 @@ object StreamingEncode {
     }
     if (base.streamBatchId.exists(_ >= batchId)) return // replayed batch
     val comp = TokenCompressor(opts)
-    val blocks = comp.encodeWithPlan(batch, base.plan, None)
-    // batch-scoped directory: deterministic overwrite on retry
-    val dir = s"$table/stream_batches/batch=$batchId"
-    blocks.toDF().write.mode(SaveMode.Overwrite).parquet(dir)
-    val m = spark.read.parquet(dir).agg(
-      count(lit(1)).as("blocks"), sum("n_docs").as("docs"),
-      sum("n_tokens").as("toks"), sum("raw_bytes").as("raw"),
-      sum("encoded_bytes").as("enc")).head()
-    val lineage = base.lineage.updated(-1,
-      base.lineage.get(-1).map { l =>
-        l.copy(
-          n_blocks = l.n_blocks + m.getAs[Long]("blocks"),
-          n_docs = l.n_docs + m.getAs[Long]("docs"),
-          n_tokens = l.n_tokens + m.getAs[Long]("toks"),
-          raw_bytes = l.raw_bytes + m.getAs[Long]("raw"),
-          encoded_bytes = l.encoded_bytes + m.getAs[Long]("enc"))
-      }.getOrElse(PartLineage(-1, m.getAs[Long]("blocks"), m.getAs[Long]("docs"),
-        m.getAs[Long]("toks"), m.getAs[Long]("raw"), m.getAs[Long]("enc"),
-        0L, Map.empty, 0L)))
-    ManifestIO.write(spark, table,
-      base.copy(version = base.version + 1,
-        committedAtMillis = System.currentTimeMillis(),
-        lineage = lineage,
-        streamBatchId = Some(batchId)))
+    // one encode pass feeds BOTH the parquet write and the lineage metrics
+    // (persist instead of re-reading the batch directory back: one fewer
+    // job per micro-batch, and the metrics provably describe what was
+    // encoded, not what a concurrent reader sees on disk)
+    val blocks = comp.encodeWithPlan(batch, base.plan, None).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // batch-scoped directory: deterministic overwrite on retry
+      val dir = s"$table/stream_batches/batch=$batchId"
+      blocks.write.mode(SaveMode.Overwrite).parquet(dir)
+      val m = blocks.agg(
+        count(lit(1)).as("blocks"), sum("n_docs").as("docs"),
+        sum("n_tokens").as("toks"), sum("raw_bytes").as("raw"),
+        sum("encoded_bytes").as("enc"),
+        expr("bit_xor(checksum)").as("ckx")).head()
+      val newCodecs = blocks.groupBy("codec").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getAs[String]("codec") -> r.getAs[Long]("n")).toMap
+      val ckx = if (m.isNullAt(5)) 0L else m.getAs[Long]("ckx")
+      // stream lineage carries the SAME fields as batch parts (round-2
+      // verdict item 6): xor-of-checksums folds associatively across
+      // batches, codec counts merge by sum
+      val lineage = base.lineage.updated(-1,
+        base.lineage.get(-1).map { l =>
+          l.copy(
+            n_blocks = l.n_blocks + m.getAs[Long]("blocks"),
+            n_docs = l.n_docs + m.getAs[Long]("docs"),
+            n_tokens = l.n_tokens + m.getAs[Long]("toks"),
+            raw_bytes = l.raw_bytes + m.getAs[Long]("raw"),
+            encoded_bytes = l.encoded_bytes + m.getAs[Long]("enc"),
+            checksum_xor = l.checksum_xor ^ ckx,
+            codecs = (l.codecs.keySet ++ newCodecs.keySet).map(k =>
+              k -> (l.codecs.getOrElse(k, 0L) + newCodecs.getOrElse(k, 0L))).toMap)
+        }.getOrElse(PartLineage(-1, m.getAs[Long]("blocks"), m.getAs[Long]("docs"),
+          m.getAs[Long]("toks"), m.getAs[Long]("raw"), m.getAs[Long]("enc"),
+          ckx, newCodecs, 0L)))
+      ManifestIO.write(spark, table,
+        base.copy(version = base.version + 1,
+          committedAtMillis = System.currentTimeMillis(),
+          lineage = lineage,
+          streamBatchId = Some(batchId)))
+    } finally blocks.unpersist()
   }
 
   /** Start the ingestion stream over a directory of token parquet files. */

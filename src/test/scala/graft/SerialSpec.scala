@@ -104,11 +104,10 @@ class SerialSpec extends AnyFunSuite {
 
   test("serialization dispatch round-trips every format") {
     val v = Map("a" -> 1L, "b" -> Seq("x", "y"), "c" -> Map("d" -> true))
-    Seq("json", "msgpack", "cbor").foreach { f =>
+    Seq("json", "json5", "msgpack", "cbor", "bson").foreach { f =>
       assert(Serialization.deserialize(f, Serialization.serialize(f, v)) == v,
         s"format $f")
     }
-    intercept[InvalidCodecException](Serialization.serialize("bson", v))
     intercept[InvalidCodecException](Serialization.deserialize("xml", Array[Byte](1)))
   }
 
@@ -145,5 +144,72 @@ class SerialSpec extends AnyFunSuite {
       assert(norm(MsgPack.unpack(MsgPack.pack(v))) == norm(v))
       assert(norm(Cbor.decode(Cbor.encode(v))) == norm(v))
     }
+  }
+
+  test("bson: published bsonspec.org example documents encode byte-exactly") {
+    // bsonspec.org §Specification, the two worked examples
+    assert(Encodings.hex(Bson.encode(Map("hello" -> "world"))) ==
+      "160000000268656c6c6f0006000000776f726c640000")
+    assert(Encodings.hex(Bson.encode(Map("BSON" -> Vector("awesome", 5.05, 1986L)))) ==
+      "310000000442534f4e002600000002300008000000617765736f6d650001310033333333" +
+        "33331440103200c20700000000")
+  }
+
+  test("bson: value-model round-trip incl. int32/int64 split, binary, nesting") {
+    def norm(x: Any): Any = x match {
+      case b: Array[Byte] => b.toSeq
+      case s: Seq[_] => s.map(norm)
+      case m: Map[_, _] => m.map { case (k, y) => (k, norm(y)) }
+      case other => other
+    }
+    val v = Map(
+      "i32" -> 42L, "i32neg" -> -7L, "i64" -> (1L << 40), "i64neg" -> -(1L << 40),
+      "d" -> 2.5, "s" -> "héllo", "b" -> true, "n" -> null,
+      "bin" -> Array[Byte](1, 2, -3),
+      "arr" -> Vector(1L, "two", Vector(3L)),
+      "doc" -> Map("inner" -> Map("deep" -> 9L)))
+    assert(norm(Bson.decode(Bson.encode(v))) == norm(v))
+    // int32 boundary values stay exact through the narrower encoding
+    val edges = Map("a" -> Int.MaxValue.toLong, "b" -> Int.MinValue.toLong,
+      "c" -> (Int.MaxValue.toLong + 1), "d" -> (Int.MinValue.toLong - 1))
+    assert(Bson.decode(Bson.encode(edges)) == edges)
+    // non-document top level fails closed like MongoDB
+    intercept[InvalidCodecException](Bson.encode(Vector(1L)))
+    intercept[InvalidCodecException](Bson.encode("str"))
+  }
+
+  test("bson: dispatches through Serialization") {
+    val v = Map("k" -> Vector(1L, 2L), "s" -> "x")
+    assert(Serialization.deserialize("bson", Serialization.serialize("bson", v)) == v)
+  }
+
+  test("json5: leniencies parse to the strict-JSON value model") {
+    val j5 =
+      """{ // config-style document
+        |  unquoted: 1,
+        |  'single': 'it''s not this', /* actually JSON5 has no '' escape */
+        |  hex: 0xFF, negHex: -0x10, plus: +4,
+        |  trailingDot: 2., leadingDot: .5,
+        |  inf: Infinity, ninf: -Infinity,
+        |  arr: [1, 2, 3,],
+        |  esc: "a\
+        |b\x41é",
+        |}""".stripMargin.replace("it''s not this", "it\\'s ok")
+    val m = Json5.parse(j5).asInstanceOf[Map[String, Any]]
+    assert(m("unquoted") == 1L)
+    assert(m("single") == "it's ok")
+    assert(m("hex") == 255L && m("negHex") == -16L && m("plus") == 4L)
+    assert(m("trailingDot") == 2.0 && m("leadingDot") == 0.5)
+    assert(m("inf") == Double.PositiveInfinity && m("ninf") == Double.NegativeInfinity)
+    assert(m("arr") == Vector(1L, 2L, 3L))
+    assert(m("esc") == "abAé")
+    assert(Json5.parse("{a:NaN}").asInstanceOf[Map[String, Any]]("a")
+      .asInstanceOf[Double].isNaN)
+    // strict JSON is a subset
+    assert(Json5.parse("""{"a": [1, 2.5, true, null]}""") ==
+      Map("a" -> Vector(1L, 2.5, true, null)))
+    // and the serializer side is plain JSON, so every emit reparses
+    val v = Map("a" -> Vector(1L, "x"), "b" -> 2.5)
+    assert(Serialization.deserialize("json5", Serialization.serialize("json5", v)) == v)
   }
 }

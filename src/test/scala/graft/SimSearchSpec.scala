@@ -100,4 +100,56 @@ class SimSearchSpec extends AnyFunSuite {
         s"${r.getDouble(0)} vs ${r.getDouble(1)}")
     }
   }
+
+  test("IVF index persists in the snapshot manifest: reload, no retrain, time travel") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val corpus = (0L until 300L)
+      .map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.limit(5)
+    val table = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+
+    val trained = SimSearch.IvfIndex.build(corpus, table, kCells = 4, iters = 2)
+    // reload is a driver-side metadata read and returns the exact floats
+    val loaded = SimSearch.IvfIndex.load(spark, table).get
+    assert(loaded.length == trained.length &&
+      loaded.zip(trained).forall { case (a, b) => a.sameElements(b) })
+    // NO training job: the persisted-index query must run exactly as many
+    // Spark jobs as the same query with in-memory centroids (training adds
+    // a seed collect + one job per Lloyd round on top)
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    def countJobs(body: => Seq[org.apache.spark.sql.Row]): (Seq[org.apache.spark.sql.Row], Int) = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        counter.set(0)
+        val out = body
+        Thread.sleep(300) // let queued listener events drain
+        (out, counter.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (fresh, freshJobs) = countJobs(
+      SimSearch.ivfTopK(corpus, queries, k = 3, kCells = 4, nprobe = 2,
+        cents = Some(trained)).collect().toSeq)
+    val (viaIndex, indexJobs) = countJobs(
+      SimSearch.IvfIndex.topK(corpus, queries, table, k = 3, nprobe = 2)
+        .collect().toSeq)
+    assert(viaIndex == fresh)
+    assert(indexJobs <= freshJobs,
+      s"persisted-index query ran $indexJobs jobs vs $freshJobs — retraining?")
+
+    // retrain on a shifted corpus -> v+1; the OLD index stays addressable
+    val v0 = ManifestIO.latest(spark, table).get.version
+    val corpus2 = corpus.withColumn("embedding",
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.col("embedding"), x => x * 2f))
+    SimSearch.IvfIndex.build(corpus2, table, kCells = 4, iters = 2)
+    assert(ManifestIO.latest(spark, table).get.version == v0 + 1)
+    val old = SimSearch.IvfIndex.load(spark, table, Some(v0)).get
+    assert(old.zip(trained).forall { case (a, b) => a.sameElements(b) })
+  }
 }

@@ -49,6 +49,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(ManifestIO.latest(spark, table).get.version == before)
   }
 
+  test("stream lineage carries the full batch fields (checksum_xor, codecs)") {
+    val root = Files.createTempDirectory("graft_stream_lin").toString
+    val opts = EncodeOptions(numParts = 4)
+    val input = Fixtures.tokenTable(spark, 400L)
+
+    // batch-encoded reference table over the identical input
+    ResumableEncodeJob.run(input, s"$root/batch_table", opts)
+    val batchLin = ManifestIO.latest(spark, s"$root/batch_table").get.lineage
+      .values.filter(_.part_id >= 0)
+
+    // same input through ONE streaming micro-batch
+    input.toDF().coalesce(1).write.mode("append").parquet(s"$root/in")
+    StreamingEncode.start(spark, s"$root/in", s"$root/stream_table", opts)
+      .awaitTermination()
+    val sl = ManifestIO.latest(spark, s"$root/stream_table").get.lineage(-1)
+
+    assert(sl.n_blocks == batchLin.map(_.n_blocks).sum)
+    assert(sl.n_docs == batchLin.map(_.n_docs).sum)
+    assert(sl.n_tokens == batchLin.map(_.n_tokens).sum)
+    assert(sl.raw_bytes == batchLin.map(_.raw_bytes).sum)
+    assert(sl.encoded_bytes == batchLin.map(_.encoded_bytes).sum)
+    // identical plan + identical rows => identical blocks: the stream's
+    // xor-of-checksums and codec mix must equal the batch table's
+    assert(sl.checksum_xor == batchLin.map(_.checksum_xor).reduce(_ ^ _))
+    assert(sl.codecs.nonEmpty)
+    val batchCodecs = batchLin.flatMap(_.codecs).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(sl.codecs == batchCodecs)
+  }
+
   test("watermarked event-time window stream converges to the batch aggregation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
