@@ -147,23 +147,45 @@ object Bench {
     val estTokens = nDocs * 680L // fixture is ~677 tokens/doc
     val clusterRepeat = math.max(1L, (400L * 1000 * 1000 + estTokens - 1) / estTokens)
       .min(32L).toInt
+    val haveSparkHome = new java.io.File("/opt/spark/bin/spark-class").exists()
+    // one real >=400M-token fixture (distinct doc_ids, one parquet scan) —
+    // NOT a unionAll multiplier: a 25-branch union plan re-broadcasts per
+    // stage and floods the driver with tiny scan tasks, which showed up as
+    // a ~3.4 s serial term that capped measured 2->8 scaling at ~0.68
+    val clusterDocs = nDocs * clusterRepeat
+    val clusterFixture = s"${sys.props("java.io.tmpdir")}/graft_bench_fixture_$clusterDocs"
+    if (haveSparkHome && !new java.io.File(clusterFixture, "_SUCCESS").exists()) {
+      val s = session(cpus)
+      Fixtures.tokenTable(s, clusterDocs, partitions = 128)
+        .write.mode("overwrite").parquet(clusterFixture)
+      stop(s)
+    }
     def clusterLeg(workers: Int): Option[(Double, Long)] = {
-      val java = s"${System.getProperty("java.home")}/bin/java"
-      val pb = new ProcessBuilder(java, "-Xmx4g", "-cp",
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val pb = new ProcessBuilder(javaBin, "-Xmx4g", "-cp",
         System.getProperty("java.class.path"), "graft.BenchCluster",
-        fixturePath, workers.toString, "2", clusterRepeat.toString)
+        clusterFixture, workers.toString, "2")
       pb.environment().put("SPARK_HOME", "/opt/spark")
       pb.environment().put("SPARK_SCALA_VERSION", "2.13")
-      pb.redirectErrorStream(false)
+      // files, not pipes: Spark writes MBs of INFO/WARN to the child's
+      // stderr; an unread 64 KiB pipe buffer deadlocks the child against a
+      // blocking stdout read in this parent. Hard timeout as a backstop.
+      val tmp = sys.props("java.io.tmpdir")
+      val outFile = new java.io.File(tmp, s"graft_cluster_$workers.out")
+      val errFile = new java.io.File(tmp, s"graft_cluster_$workers.err")
+      pb.redirectOutput(ProcessBuilder.Redirect.to(outFile))
+      pb.redirectError(ProcessBuilder.Redirect.to(errFile))
       try {
         val p = pb.start()
-        val out = new String(p.getInputStream.readAllBytes())
-        p.getErrorStream.readAllBytes()
-        p.waitFor()
-        out.linesIterator.find(_.startsWith("GRAFT_CLUSTER_RESULT")).map { l =>
-          val sec = """"sec":([0-9.]+)""".r.findFirstMatchIn(l).get.group(1).toDouble
-          val tok = """"tokens":([0-9]+)""".r.findFirstMatchIn(l).get.group(1).toLong
-          (sec, tok)
+        val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { p.destroyForcibly(); p.waitFor(); None }
+        else {
+          val out = java.nio.file.Files.readString(outFile.toPath)
+          out.linesIterator.find(_.startsWith("GRAFT_CLUSTER_RESULT")).map { l =>
+            val sec = """"sec":([0-9.]+)""".r.findFirstMatchIn(l).get.group(1).toDouble
+            val tok = """"tokens":([0-9]+)""".r.findFirstMatchIn(l).get.group(1).toLong
+            (sec, tok)
+          }
         }
       } catch { case _: Throwable => None }
     }
@@ -172,7 +194,6 @@ object Bench {
     var clusterBest8 = Double.MaxValue
     var clusterToks = 0L
     var round = 0
-    val haveSparkHome = new java.io.File("/opt/spark/bin/spark-class").exists()
     while (haveSparkHome && clusterSamples.length < 3 && round < 5) {
       round += 1
       (clusterLeg(2), clusterLeg(8)) match {

@@ -10,14 +10,13 @@ import org.apache.spark.sql.{SparkSession, functions => F}
   * Launched as a child JVM (with SPARK_HOME set) because executor
   * processes are forked via `$SPARK_HOME/bin/spark-class`.
   *
-  * args: fixtureParquetPath numWorkers reps [repeat]
+  * args: fixtureParquetPath numWorkers reps
   */
 object BenchCluster {
   def main(args: Array[String]): Unit = {
     val fixturePath = args(0)
     val workers = args(1).toInt
     val reps = args(2).toInt
-    val repeat = if (args.length > 3) args(3).toInt else 1
     val memMb = 3072
     val s = SparkSession.builder()
       .master(s"local-cluster[$workers,1,$memMb]")
@@ -28,18 +27,21 @@ object BenchCluster {
       .config("spark.executor.memory", s"${memMb - 512}m")
       // ship the graft classes to the executor JVMs
       .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
-      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
-      .config("spark.sql.files.openCostInBytes", (1 * 1024 * 1024).toString)
+      // the scaling experiment's serial fraction is driver scheduling, not
+      // compute: big scan splits (fewer tasks) and no locality stalls keep
+      // the driver out of the critical path so the cores measure the engine
+      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (4 * 1024 * 1024).toString)
+      .config("spark.locality.wait", "0")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     try {
       import org.apache.spark.sql.Encoders
-      val opts = EncodeOptions(numParts = 128, sampleMod = 16)
-      val one = s.read.parquet(fixturePath).as[TokenRow](Encoders.product[TokenRow])
-      // optional job-size multiplier so the fast leg's wall time stays well
-      // above fixed per-job cost (scheduling, plan broadcast)
-      val ds = (1 until repeat).foldLeft(one)((d, _) => d.unionAll(one))
-        .as[TokenRow](Encoders.product[TokenRow])
+      // 64 planned parts ~= 6-8M tokens (25-30 MB) per encode task at the
+      // parent-chosen >=400M-token job: few scheduling waves, real per-task
+      // work — the shape a 1000-executor run would use per core
+      val opts = EncodeOptions(numParts = 64, sampleMod = 16)
+      val ds = s.read.parquet(fixturePath).as[TokenRow](Encoders.product[TokenRow])
       val plan = Planner.plan(ds, opts)
       val comp = TokenCompressor(opts)
       def once(): (Double, Long) = {

@@ -24,11 +24,64 @@ object Zframe {
     if (z.length < bytes.length) (z, "zstd") else (bytes, "none")
   }
 
-  def unframe(bytes: Array[Byte], outer: String): Array[Byte] = outer match {
+  /** Dictionary variant: frames with the partition's shared dict when that
+    * wins, falling back to the plain zstd frame, falling back to raw — so
+    * enabling the dict can only shrink blocks, never grow them.
+    */
+  def frameWith(bytes: Array[Byte], level: Int,
+                cctx: com.github.luben.zstd.ZstdCompressCtx): (Array[Byte], String) = {
+    val (z, outer) = frame(bytes, level)
+    if (cctx == null || !available || bytes.length < 64) return (z, outer)
+    val zd = cctx.compress(bytes)
+    if (zd.length < z.length) (zd, "zstdd") else (z, outer)
+  }
+
+  /** Train one shared dictionary from sampled codec-byte blocks. The blocks
+    * are re-chunked to ~8 KiB samples (ZDICT wants many small samples; the
+    * chunks preserve the streams' local redundancy). Empty result = training
+    * declined (too little sample mass) — caller frames dict-less.
+    */
+  def trainDict(samples: Seq[Array[Byte]], dictBytes: Int): Array[Byte] =
+    try {
+      val chunk = 8192
+      val total = samples.iterator.map(_.length.toLong).sum
+      val target = math.min(dictBytes.toLong, math.max(1024L, total / 4)).toInt
+      val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+        math.min(total, Int.MaxValue.toLong).toInt, target)
+      samples.foreach { s =>
+        var off = 0
+        while (off < s.length) {
+          trainer.addSample(
+            java.util.Arrays.copyOfRange(s, off, math.min(off + chunk, s.length)))
+          off += chunk
+        }
+      }
+      trainer.trainSamples()
+    } catch { case _: Throwable => Array.emptyByteArray }
+
+  // digested-dict decode contexts are ~free to reuse and expensive to build;
+  // one slot per task thread covers the common one-dict-per-partition case
+  private val dctxCache =
+    new ThreadLocal[(Array[Byte], com.github.luben.zstd.ZstdDecompressCtx)]
+
+  def unframe(bytes: Array[Byte], outer: String,
+              zdict: Array[Byte] = Array.emptyByteArray): Array[Byte] = outer match {
     case "none" => bytes
     case "zstd" =>
       val n = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
       com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
+    case "zstdd" =>
+      require(zdict != null && zdict.nonEmpty,
+        "outer frame 'zstdd' requires the block's zdict column")
+      var e = dctxCache.get()
+      if (e == null || !java.util.Arrays.equals(e._1, zdict)) {
+        val ctx = new com.github.luben.zstd.ZstdDecompressCtx()
+        ctx.loadDict(zdict)
+        e = (zdict, ctx)
+        dctxCache.set(e)
+      }
+      val n = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+      e._2.decompress(bytes, n.toInt)
     case other => throw new InvalidCodecException(s"unknown outer frame '$other'")
   }
 }
@@ -205,6 +258,13 @@ object BlockEncoder {
     var table: AnyRef = _
     var tBytes: Array[Byte] = _
     var blocksSinceTrain: Int = 0
+    // shared-zstd-dictionary state (opts.zdictBlocks > 0): codec bytes of
+    // the partition's first blocks are sampled, one dict is trained, and
+    // every later block frames against it when that wins
+    var zdSamples: scala.collection.mutable.ArrayBuffer[Array[Byte]] = _
+    var zdict: Array[Byte] = _ // null = still sampling; empty = declined
+    var zcctx: com.github.luben.zstd.ZstdCompressCtx = _
+    var zdictCharged: Boolean = false // dict bytes counted once per partition
   }
 
   def encodePartition(
@@ -290,7 +350,25 @@ object BlockEncoder {
         }
       case c => (c.encode(flat), Array.emptyByteArray, false)
     }
-    val (payload0, outer0) = Zframe.frame(codecBytes, opts.zstdLevel)
+    val (payload0, outer0) =
+      if (opts.zdictBlocks > 0 && opts.zstdLevel > 0 && Zframe.available) {
+        if (cache.zdict == null) {
+          // sampling phase: frame dict-less, accumulate codec bytes
+          if (cache.zdSamples == null)
+            cache.zdSamples = scala.collection.mutable.ArrayBuffer.empty
+          cache.zdSamples += codecBytes
+          if (cache.zdSamples.length >= opts.zdictBlocks) {
+            cache.zdict = Zframe.trainDict(cache.zdSamples.toSeq, opts.zdictBytes)
+            cache.zdSamples = null
+            if (cache.zdict.nonEmpty) {
+              cache.zcctx = new com.github.luben.zstd.ZstdCompressCtx()
+              cache.zcctx.setLevel(opts.zstdLevel)
+              cache.zcctx.loadDict(cache.zdict)
+            }
+          }
+          Zframe.frame(codecBytes, opts.zstdLevel)
+        } else Zframe.frameWith(codecBytes, opts.zstdLevel, cache.zcctx)
+      } else Zframe.frame(codecBytes, opts.zstdLevel)
     // effective storage cost of this block: framed body + the table IF this
     // block is the one introducing it (reused tables parquet-dedupe to ~0)
     val effective0 = payload0.length.toLong + (if (newTable) symtab0.length else 0)
@@ -312,6 +390,17 @@ object BlockEncoder {
           (pp, po, PlainCodec.name, Array.emptyByteArray, pp.length.toLong)
         else (payload0, outer0, codec.name, symtab0, effective0)
       } else (payload0, outer0, codec.name, symtab0, effective0)
+    // dict accounting follows the FINAL frame choice: the dict column rides
+    // only on "zstdd" blocks (identical bytes Parquet-dedupe like symtab)
+    // and its size is charged once, to the first block of the partition
+    // that uses it
+    val zdictCol =
+      if (outer == "zstdd") cache.zdict else Array.emptyByteArray
+    val zdictCost =
+      if (outer == "zstdd" && !cache.zdictCharged) {
+        cache.zdictCharged = true
+        cache.zdict.length.toLong
+      } else 0L
     val checksum = Checksum.blockChecksumFlat(rows.map(_.tokens.length), flat)
     val micros = (System.nanoTime() - t0) / 1000
     EncodedBlock(
@@ -322,7 +411,7 @@ object BlockEncoder {
       n_docs = rows.length,
       n_tokens = nTok,
       raw_bytes = 4L * nTok + 4L * rows.length,
-      encoded_bytes = effective,
+      encoded_bytes = effective + zdictCost,
       first_doc_id = rows.head.doc_id,
       last_doc_id = rows.last.doc_id,
       doc_ids = rows.map(_.doc_id),
@@ -330,6 +419,7 @@ object BlockEncoder {
       sources = rows.map(_.source),
       payload = payload,
       symtab = symtab,
+      zdict = zdictCol,
       checksum = checksum,
       enc_micros = micros
     )
@@ -365,7 +455,7 @@ object BlockEncoder {
     var tokUntil = tokFrom
     while (i < end) { tokUntil += b.n_toks(i); i += 1 }
 
-    val codecBytes = Zframe.unframe(b.payload, b.outer)
+    val codecBytes = Zframe.unframe(b.payload, b.outer, b.zdict)
     val codec = CodecRegistry.byName(b.codec)
     val sliced: Option[Array[Int]] =
       if (b.symtab != null && b.symtab.nonEmpty) codec match {
@@ -396,7 +486,7 @@ object BlockEncoder {
   }
 
   def decodeBlock(b: EncodedBlock, verify: Boolean): Iterator[TokenRow] = {
-    val codecBytes = Zframe.unframe(b.payload, b.outer)
+    val codecBytes = Zframe.unframe(b.payload, b.outer, b.zdict)
     val flat =
       if (b.symtab != null && b.symtab.nonEmpty)
         CodecRegistry.byName(b.codec) match {

@@ -104,6 +104,68 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** Executor-side text-signature kernels behind the native expressions. */
+object TextKernels {
+  def minhash(text: org.apache.spark.unsafe.types.UTF8String,
+              k: Int, seed: Long): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextOps.minhashSignature(TextOps.shingleHashes(text.toString), k, seed))
+  def simhash64(text: org.apache.spark.unsafe.types.UTF8String): Long =
+    TextOps.simhash(text.toString)
+}
+
+/** Native minhash signature over a string column: k seeded permutations of
+  * the doc's 3-word shingle hashes, as one generated-code call per row —
+  * no Dataset encoder round-trip (Tungsten row -> Scala tuple -> Tungsten)
+  * like the former mapPartitions formulation, and column pruning reaches
+  * the scan naturally. Same kernel code, so signatures are bit-identical.
+  */
+case class MinhashSig(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires string, got ${other.simpleString(10)}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhash(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.TextKernels.minhash($c, $k, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+/** Native 64-bit simhash over word unigram hashes (same kernel as
+  * TextOps.simhash — bit-identical signatures).
+  */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires string, got ${other.simpleString(10)}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash64(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.TextKernels.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
 /** Registration of engine SQL functions (the enum→dispatch surface of the
   * reference exposed to Spark SQL).
   */
@@ -116,6 +178,16 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      (exprs: Seq[Expression]) => MinhashSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval() match { case i: Int => i.toLong; case l: Long => l }),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      (exprs: Seq[Expression]) => Simhash64(exprs.head),
       "built-in")
   }
 

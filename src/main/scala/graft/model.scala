@@ -48,6 +48,7 @@ final case class EncodedBlock(
     sources: Array[String],
     payload: Array[Byte],
     symtab: Array[Byte], // reusable codec symbol table ([] = self-contained)
+    zdict: Array[Byte], // shared zstd dictionary for outer="zstdd" ([] = none)
     checksum: Long, // XXH64(seed=42) over the canonical block bytes
     enc_micros: Long
 )
@@ -88,6 +89,18 @@ final case class EncodedBlock(
   *                     save (measured 74->61 MTok/s at 8 cores); turn on
   *                     for clusters where the wire, not the CPU, is the
   *                     shuffle bottleneck
+  * @param zdictBlocks  >0 trains one shared zstd dictionary per partition
+  *                     over the codec bytes of its first `zdictBlocks`
+  *                     blocks, then frames subsequent blocks with it when
+  *                     that wins (outer="zstdd"; the dict travels in the
+  *                     `zdict` column and Parquet-dedupes like `symtab`,
+  *                     so blocks stay independently decodable). The dict's
+  *                     one-time training cost amortizes over a partition's
+  *                     block count — the knob is for ratio-oriented tables
+  *                     (thousands of blocks/partition at production scale);
+  *                     default OFF to keep the latency-oriented encode path
+  *                     free of the training stall
+  * @param zdictBytes   target dictionary size in bytes (capped by sample mass)
   */
 final case class EncodeOptions(
     codecPolicy: String = "auto",
@@ -98,7 +111,9 @@ final case class EncodeOptions(
     strictSizeBound: Boolean = false,
     tableReuse: Boolean = true,
     retrainEvery: Int = 16,
-    packShuffle: Boolean = false
+    packShuffle: Boolean = false,
+    zdictBlocks: Int = 0,
+    zdictBytes: Int = 1 << 16
 ) extends Serializable
 
 object EncodeOptions {

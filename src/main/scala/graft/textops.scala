@@ -190,13 +190,12 @@ object TextOps {
     */
   private[graft] def minhashBanded(df: DataFrame, k: Int, bands: Int): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
+    GraftFunctions.register(spark) // idempotent
     val rowsPerBand = k / bands
-    val sigs = df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        (id, minhashSignature(shingleHashes(text), k))
-      })
-      .toDF("doc_id", "sig")
+    // signature = native codegen expression (expressions.scala MinhashSig):
+    // one generated-code call per row, no Dataset-encoder round-trip
+    val sigs = df.select(col("doc_id").cast("long").as("doc_id"),
+        call_function("minhash_sig", col("text"), lit(k), lit(42L)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.select(
       col("doc_id"), col("sig"),
@@ -345,9 +344,9 @@ object TextOps {
     val widths = Array.tabulate(nSeg)(i => 64 / nSeg + (if (i < 64 % nSeg) 1 else 0))
     val los = widths.scanLeft(0)(_ + _).take(nSeg)
     val masks = widths.map(w => if (w >= 64) -1L else (1L << w) - 1L)
-    val sigs = df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, simhash(t)) })
-      .toDF("doc_id", "sim")
+    GraftFunctions.register(spark) // idempotent
+    val sigs = df.select(col("doc_id").cast("long").as("doc_id"),
+        call_function("simhash64", col("text")).as("sim"))
       // shared by boundedBuckets' count + group passes, like minhashBanded
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.select(col("doc_id"), col("sim"),
