@@ -574,6 +574,38 @@ object SparkEntry {
         size(col("audio_embedding")).as("emb_dim"))
         .orderBy("doc_id")
     }),
+    "mm_exif" -> ((s, dir) => {
+      // EXIF orientation normalization: synthetic JPEGs get a spliced APP1
+      // orientation tag (1..8 cycling by id); the normalize op must read
+      // the tag and swap dims exactly for the transposed cases 5..8
+      val tagged = udf { (id: Long) =>
+        MediaOps.Exif.withOrientation(
+          MediaOps.ImageCodec.synthJpeg(id), (1 + id % 8).toInt)
+      }
+      val media = docs(s, dir).select(col("doc_id"), tagged(col("doc_id")).as("payload"))
+      MediaOps.normalizeOrientation(media)
+        .select(col("doc_id"), col("exif_orientation"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("doc_id")
+    }),
+    "mm_resample" -> ((s, dir) => {
+      // audio resample 8000 -> 4000 Hz: output frame count is the exact
+      // integer formula floor(n * to / from); at a 2:1 ratio the resampler
+      // degenerates to exact decimation, so the sine RMS law still holds
+      val wav = udf((id: Long) => MediaOps.AudioCodec.synthWav(id))
+      val rmsU = udf((b: Array[Byte]) =>
+        MediaOps.AudioCodec.rms(MediaOps.AudioCodec.samples(b)))
+      val media = docs(s, dir).select(col("doc_id"), wav(col("doc_id")).as("payload"))
+      MediaOps.resampleAudio(media, 4000)
+        .select(col("doc_id"),
+          col("audio_meta.sample_rate").as("sample_rate"),
+          col("audio_meta.channels").as("channels"),
+          col("audio_meta.n_frames").as("n_frames"),
+          col("audio_meta.duration_ms").as("duration_ms"),
+          (abs(rmsU(col("payload")) - lit(8192.0 / 32768.0 / math.sqrt(2.0))) < 0.02)
+            .as("rms_ok"))
+        .orderBy("doc_id")
+    }),
     "mm_negotiate" -> ((s, dir) => {
       // HTTP content negotiation (headerToConvertableFormat,
       // EncodeTools.ts:466-487): header value -> format via the MIME maps,
@@ -948,6 +980,19 @@ object SparkEntry {
           |  cast(800 + (doc_id % 100) * 8 as bigint) AS n_frames,
           |  cast((800 + (doc_id % 100) * 8) / 8 as bigint) AS duration_ms,
           |  true AS rms_ok, cast(8 as int) AS emb_dim
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "mm_exif" ->
+        """SELECT doc_id, cast(1 + doc_id % 8 as int) AS exif_orientation,
+          |  cast(CASE WHEN 1 + doc_id % 8 >= 5 THEN 8 + doc_id % 16
+          |       ELSE 16 + doc_id % 32 END as int) AS width,
+          |  cast(CASE WHEN 1 + doc_id % 8 >= 5 THEN 16 + doc_id % 32
+          |       ELSE 8 + doc_id % 16 END as int) AS height
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "mm_resample" ->
+        """SELECT doc_id, cast(4000 as int) AS sample_rate, cast(1 as int) AS channels,
+          |  cast(400 + (doc_id % 100) * 4 as bigint) AS n_frames,
+          |  cast((400 + (doc_id % 100) * 4) / 4 as bigint) AS duration_ms,
+          |  true AS rms_ok
           |FROM documents ORDER BY doc_id""".stripMargin,
       "mm_negotiate" -> valuesOracle(Seq(
         "(0, 'json')", "(1, 'msgpack')", "(2, 'cbor')", "(3, 'png')",

@@ -73,6 +73,13 @@ object SimKernels {
     }
     dot / math.sqrt(aa) / math.sqrt(bb)
   }
+
+  /** IVF cell assignment — delegates to the SAME kernel ivfCentroids
+    * trains with, so expression-assigned cells are bit-identical to the
+    * training assignment.
+    */
+  def nearestCell(v: ArrayData, cents: Array[Array[Double]]): Int =
+    SimSearch.nearestCell(v.toFloatArray(), cents)
 }
 
 /** Native cosine similarity over two array<float> columns. Spark's
@@ -142,6 +149,34 @@ case class MinhashSig(child: Expression, k: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Native IVF cell assignment over an array<float> column against the
+  * trained (k x dim, broadcast-small) centroid matrix, shipped as a plan
+  * reference object — keeps the corpus-side probe inside whole-stage
+  * codegen where the former per-row UDF forced a serialization barrier.
+  */
+case class NearestCell(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell requires array<float>, got ${other.simpleString(10)}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimKernels.nearestCell(input.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+      s"${ev.value} = graft.SimKernels.nearestCell($c, $ref);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
 /** Native 64-bit simhash over word unigram hashes (same kernel as
   * TextOps.simhash — bit-identical signatures).
   */
@@ -188,6 +223,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64",
       (exprs: Seq[Expression]) => Simhash64(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cell",
+      (exprs: Seq[Expression]) => NearestCell(exprs(0), {
+        // the centroid matrix arrives as a foldable nested-array literal
+        val ad = exprs(1).eval().asInstanceOf[ArrayData]
+        Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+      }),
       "built-in")
   }
 

@@ -115,6 +115,109 @@ object MediaOps {
     }
 
     def synthPng(id: Long): Array[Byte] = encode(synthImage(id), "png")
+    def synthJpeg(id: Long): Array[Byte] = encode(synthImage(id), "jpeg")
+  }
+
+  /** Minimal EXIF reader/writer for the orientation tag — enough to
+    * normalize camera rotation at scan time. Parses the JPEG APP1 segment's
+    * TIFF IFD0 per the public EXIF 2.3 / TIFF 6.0 layout; non-JPEG or
+    * EXIF-less payloads report orientation 1 (upright).
+    */
+  object Exif {
+    val OrientationTag = 0x0112
+
+    def orientation(bytes: Array[Byte]): Int = {
+      if (bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0xFF || (bytes(1) & 0xff) != 0xD8) return 1
+      var i = 2
+      while (i + 4 <= bytes.length && (bytes(i) & 0xff) == 0xFF) {
+        val marker = bytes(i + 1) & 0xff
+        if (marker >= 0xD0 && marker <= 0xD9) i += 2 // standalone markers
+        else {
+          val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+          if (marker == 0xE1 && i + 10 <= bytes.length &&
+            bytes(i + 4) == 'E' && bytes(i + 5) == 'x' && bytes(i + 6) == 'i' &&
+            bytes(i + 7) == 'f' && bytes(i + 8) == 0 && bytes(i + 9) == 0) {
+            val t = i + 10 // TIFF header
+            if (t + 8 > bytes.length) return 1
+            val little = bytes(t) == 'I' && bytes(t + 1) == 'I'
+            def u16(p: Int): Int =
+              if (little) (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+              else ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+            def u32(p: Int): Long =
+              if (little) (u16(p).toLong) | (u16(p + 2).toLong << 16)
+              else (u16(p).toLong << 16) | u16(p + 2).toLong
+            val ifd = t + u32(t + 4).toInt
+            if (ifd + 2 > bytes.length) return 1
+            val n = u16(ifd)
+            var e = 0
+            while (e < n) {
+              val ep = ifd + 2 + e * 12
+              if (ep + 12 > bytes.length) return 1
+              if (u16(ep) == OrientationTag) {
+                val o = u16(ep + 8) // SHORT value lives in the field's first 2 bytes
+                return if (o >= 1 && o <= 8) o else 1
+              }
+              e += 1
+            }
+            return 1
+          }
+          if (marker == 0xDA) return 1 // SOS: entropy data follows, stop
+          i += 2 + len
+        }
+      }
+      1
+    }
+
+    /** Splice a minimal EXIF APP1 (one IFD0 entry: orientation) right after
+      * SOI — the test-vector constructor (ImageIO writes no EXIF itself).
+      */
+    def withOrientation(jpeg: Array[Byte], o: Int): Array[Byte] = {
+      require(o >= 1 && o <= 8, s"orientation $o")
+      require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xFF && (jpeg(1) & 0xff) == 0xD8,
+        "not a JPEG payload")
+      val tiff = Array[Byte](
+        'I', 'I', 0x2A, 0, 8, 0, 0, 0, // II, magic 42, IFD0 at offset 8
+        1, 0, // one entry
+        0x12, 0x01, 3, 0, 1, 0, 0, 0, // tag 0x0112, type SHORT, count 1
+        o.toByte, 0, 0, 0, // value
+        0, 0, 0, 0) // next-IFD = none
+      val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+      val len = payload.length + 2
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload ++ jpeg.drop(2)
+    }
+
+    /** Undo the stored orientation so the raster reads upright: the eight
+      * EXIF cases as one pixel remap (dims swap for 5-8).
+      */
+    def applyOrientation(img: BufferedImage, o: Int): BufferedImage = {
+      if (o <= 1 || o > 8) return img
+      val w = img.getWidth
+      val h = img.getHeight
+      val swap = o >= 5
+      val out = new BufferedImage(if (swap) h else w, if (swap) w else h,
+        BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (tx, ty) = o match {
+            case 2 => (w - 1 - x, y) // mirror horizontal
+            case 3 => (w - 1 - x, h - 1 - y) // rotate 180
+            case 4 => (x, h - 1 - y) // mirror vertical
+            case 5 => (y, x) // transpose
+            case 6 => (h - 1 - y, x) // rotate 90 CW
+            case 7 => (h - 1 - y, w - 1 - x) // transverse
+            case _ => (y, w - 1 - x) // 8: rotate 270 CW
+          }
+          out.setRGB(tx, ty, img.getRGB(x, y))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
   /** One raster-level operation; chains fuse via [[applyOps]]. */
@@ -220,6 +323,25 @@ object MediaOps {
   def convert(df: DataFrame, toFormat: String): DataFrame =
     applyOps(df, Seq.empty, Some(toFormat))
 
+  /** Normalize EXIF camera rotation at scan time: read the orientation tag,
+    * remap the raster upright, re-encode (EXIF-less). Adds the tag value as
+    * `exif_orientation` and refreshes the metadata struct (dims swap for
+    * the transposed orientations 5-8). Per-row pure kernel — no shuffle.
+    */
+  def normalizeOrientation(df: DataFrame): DataFrame = {
+    val o = udf((b: Array[Byte]) => Exif.orientation(b))
+    val fix = udf { (b: Array[Byte], o: Int) =>
+      if (o <= 1) b
+      else {
+        val fmt = ImageCodec.meta(b)._3
+        ImageCodec.encode(Exif.applyOrientation(ImageCodec.decode(b), o), fmt)
+      }
+    }
+    val tagged = df.withColumn("exif_orientation", o(col("payload")))
+      .withColumn("payload", fix(col("payload"), col("exif_orientation")))
+    withMetadata(tagged, col("payload"))
+  }
+
   /** Frame sampling for video-like payloads: deterministic k-of-n byte
     * slices as "frames" (the partitioning/batch shape of a real frame
     * sampler; no video codec ships in the JDK — documented stub).
@@ -307,6 +429,44 @@ object MediaOps {
       while (i < s.length) { val v = s(i) / 32768.0; acc += v * v; i += 1 }
       math.sqrt(acc / s.length)
     }
+
+    /** Encode 16-bit mono PCM samples as a little-endian WAV container. */
+    def encodeWav(s: Array[Short], rate: Int): Array[Byte] = {
+      val pcm = new Array[Byte](s.length * 2)
+      var i = 0
+      while (i < s.length) {
+        pcm(2 * i) = (s(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, s.length.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Linear-interpolation resampler. Output frame count is the exact
+      * integer formula floor(n * to / from), so downstream oracles can state
+      * it in plain SQL.
+      */
+    def resample(s: Array[Short], from: Int, to: Int): Array[Short] = {
+      require(from > 0 && to > 0, s"rates $from -> $to")
+      if (from == to) return s
+      val nOut = ((s.length.toLong * to) / from).toInt
+      val out = new Array[Short](nOut)
+      var i = 0
+      while (i < nOut) {
+        val pos = i.toDouble * from / to
+        val i0 = pos.toInt
+        val frac = pos - i0
+        val v0: Double = if (i0 < s.length) s(i0) else 0
+        val v1: Double = if (i0 + 1 < s.length) s(i0 + 1) else v0
+        out(i) = (v0 + (v1 - v0) * frac).round.toShort
+        i += 1
+      }
+      out
+    }
   }
 
   /** Attach (sample_rate, channels, n_frames, duration_ms, n_bytes) —
@@ -322,6 +482,18 @@ object MediaOps {
         (col("_a._3") * 1000L / col("_a._1")).cast("long").as("duration_ms"),
         length(payload).as("n_bytes")))
       .drop("_a")
+  }
+
+  /** Resample WAV payloads to a target rate (decode -> linear-interp
+    * resample -> re-encode), attaching the refreshed metadata struct.
+    * Per-row pure kernel — no shuffle, scales embarrassingly.
+    */
+  def resampleAudio(df: DataFrame, toRate: Int): DataFrame = {
+    val r = udf { (b: Array[Byte]) =>
+      val (rate, _, _) = AudioCodec.meta(b)
+      AudioCodec.encodeWav(AudioCodec.resample(AudioCodec.samples(b), rate, toRate), toRate)
+    }
+    withAudioMetadata(df.withColumn("payload", r(col("payload"))), col("payload"))
   }
 
   /** REAL audio feature extraction: per-window RMS energy profile over k

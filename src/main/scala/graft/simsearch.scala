@@ -177,7 +177,7 @@ object SimSearch {
     out
   }
 
-  private def nearestCell(v: Array[Float], cents: Array[Array[Double]]): Int = {
+  private[graft] def nearestCell(v: Array[Float], cents: Array[Array[Double]]): Int = {
     val u = normalized(v)
     var best = 0
     var bestDot = Double.NegativeInfinity
@@ -301,7 +301,6 @@ object SimSearch {
     val spark = corpus.sparkSession
     val trained = cents.getOrElse(ivfCentroids(corpus, kCells))
     val bc = spark.sparkContext.broadcast(trained)
-    val cellOf = udf((v: Array[Float]) => nearestCell(v, bc.value))
     val probeCells = udf { (v: Array[Float]) =>
       val u = normalized(v)
       bc.value.indices
@@ -313,7 +312,13 @@ object SimSearch {
         }
         .sorted.take(nprobe).map(_._2).toArray
     }
-    val indexed = corpus.withColumn("cell", cellOf(col("embedding")))
+    // corpus-side assignment = native codegen NearestCell expression (the
+    // k x dim centroid matrix ships as a plan reference object); the
+    // query-side probe UDF runs on the tiny broadcast side only
+    GraftFunctions.register(spark)
+    val indexed = corpus.withColumn("cell",
+      call_function("nearest_cell", col("embedding"),
+        typedLit(trained.map(_.toSeq).toSeq)))
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("cell", explode(probeCells(col("q_emb"))))

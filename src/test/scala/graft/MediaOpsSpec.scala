@@ -148,4 +148,75 @@ class MediaOpsSpec extends AnyFunSuite {
     }
     intercept[Exception](MediaOps.AudioCodec.meta("not a wav".getBytes("UTF-8")))
   }
+
+  test("audio resample: exact frame-count law, RMS preserved, identity at same rate") {
+    import spark.implicits._
+    val bytes = MediaOps.AudioCodec.synthWav(7L) // 8000 Hz, 856 frames
+    val s = MediaOps.AudioCodec.samples(bytes)
+    // same-rate resample is the identity
+    assert(MediaOps.AudioCodec.resample(s, 8000, 8000) eq s)
+    // 2:1 decimation: floor(n*to/from) frames, RMS still the sine law
+    val half = MediaOps.AudioCodec.resample(s, 8000, 4000)
+    assert(half.length == s.length / 2)
+    assert(math.abs(MediaOps.AudioCodec.rms(half) - 8192.0 / 32768.0 / math.sqrt(2.0)) < 0.02)
+    // non-integer ratio keeps the exact count formula
+    val up = MediaOps.AudioCodec.resample(s, 8000, 11025)
+    assert(up.length == (s.length.toLong * 11025 / 8000).toInt)
+    // wav re-encode round-trips the new header
+    val wavOut = MediaOps.AudioCodec.encodeWav(half, 4000)
+    assert(MediaOps.AudioCodec.meta(wavOut) == ((4000, 1, half.length.toLong)))
+    // DataFrame op end to end
+    val wav = org.apache.spark.sql.functions.udf((id: Long) => MediaOps.AudioCodec.synthWav(id))
+    val df = Seq(1L, 103L).toDF("doc_id")
+      .select(col("doc_id"), wav(col("doc_id")).as("payload"))
+    MediaOps.resampleAudio(df, 4000)
+      .select("doc_id", "audio_meta.sample_rate", "audio_meta.n_frames").collect()
+      .foreach { r =>
+        assert(r.getInt(1) == 4000)
+        assert(r.getLong(2) == (800 + (r.getLong(0) % 100) * 8) / 2)
+      }
+  }
+
+  test("EXIF orientation: APP1 splice parses back; raster remap is exact") {
+    val jpeg = ImageCodec.synthJpeg(3L) // 19 x 11
+    assert(MediaOps.Exif.orientation(jpeg) == 1, "no EXIF -> upright")
+    assert(MediaOps.Exif.orientation(ImageCodec.synthPng(3L)) == 1, "non-JPEG -> upright")
+    (1 to 8).foreach { o =>
+      val tagged = MediaOps.Exif.withOrientation(jpeg, o)
+      assert(MediaOps.Exif.orientation(tagged) == o)
+      // the spliced payload still decodes (APP1 is transparent to ImageIO)
+      val img = ImageCodec.decode(tagged)
+      assert(img.getWidth == 19 && img.getHeight == 11)
+    }
+    // pixel law for rotate-90-CW (orientation 6): src (x,y) -> dst (h-1-y, x)
+    val img = ImageCodec.synthImage(3L)
+    val rot = MediaOps.Exif.applyOrientation(img, 6)
+    assert(rot.getWidth == 11 && rot.getHeight == 19)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      assert(rot.getRGB(img.getHeight - 1 - y, x) == img.getRGB(x, y))
+    // mirror-horizontal (2) keeps dims; transpose (5) swaps them
+    assert(MediaOps.Exif.applyOrientation(img, 2).getWidth == 19)
+    val tr = MediaOps.Exif.applyOrientation(img, 5)
+    assert(tr.getWidth == 11 && tr.getHeight == 19)
+    assert(tr.getRGB(5, 7) == img.getRGB(7, 5))
+  }
+
+  test("normalizeOrientation: dims swap for transposed tags, column carries the tag") {
+    import spark.implicits._
+    val tagged = org.apache.spark.sql.functions.udf { (id: Long) =>
+      MediaOps.Exif.withOrientation(ImageCodec.synthJpeg(id), (1 + id % 8).toInt)
+    }
+    val df = Seq(0L, 3L, 4L, 5L, 7L).toDF("doc_id")
+      .select(col("doc_id"), tagged(col("doc_id")).as("payload"))
+    MediaOps.normalizeOrientation(df)
+      .select("doc_id", "exif_orientation", "meta.width", "meta.height").collect()
+      .foreach { r =>
+        val id = r.getLong(0)
+        val o = (1 + id % 8).toInt
+        val (w, h) = (16 + (id % 32).toInt, 8 + (id % 16).toInt)
+        assert(r.getInt(1) == o)
+        if (o >= 5) assert(r.getInt(2) == h && r.getInt(3) == w)
+        else assert(r.getInt(2) == w && r.getInt(3) == h)
+      }
+  }
 }
