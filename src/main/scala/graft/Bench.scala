@@ -120,15 +120,25 @@ object Bench {
     // round's efficiency ratio. The headline scaling efficiency is the
     // MEDIAN of the per-round ratios — robust to a noisy round in either
     // direction — alongside the min-of-all-reps throughputs per level.
+    // rounds whose ratio falls outside [0.3, 1.3] hit a shared-box load
+    // spike in ONE leg (round-2 saw a 2.565 sample) — discard and re-run
+    // instead of trusting the median to absorb them
     var best2: (Double, Long, Long, Long, Map[String, Long]) = null
     var best8: (Double, Long, Long, Long, Map[String, Long]) = null
     val effSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-    (1 to 5).foreach { _ =>
+    var localRound = 0
+    while (effSamples.length < 5 && localRound < 8) {
+      localRound += 1
       val r2 = atCores(2, 2)
       val r8 = atCores(8, 2)
-      effSamples += (r8._2 / r8._1) / (4.0 * (r2._2 / r2._1))
-      if (best2 == null || r2._1 < best2._1) best2 = r2
-      if (best8 == null || r8._1 < best8._1) best8 = r8
+      val eff = (r8._2 / r8._1) / (4.0 * (r2._2 / r2._1))
+      // a box hammered for all 8 rounds still reports (ungated) rather
+      // than crashing on an empty sample set
+      if ((eff >= 0.3 && eff <= 1.3) || (effSamples.isEmpty && localRound == 8)) {
+        effSamples += eff
+        if (best2 == null || r2._1 < best2._1) best2 = r2
+        if (best8 == null || r8._1 < best8._1) best8 = r8
+      }
     }
     val (sec2, toks2, _, _, _) = best2
     val (sec8, toks8, _, _, _) = best8

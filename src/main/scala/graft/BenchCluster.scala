@@ -55,7 +55,10 @@ object BenchCluster {
       // encode kernel far past C2 thresholds on every executor
       once()
       val best = (1 to reps).map(_ => once()).minBy(_._1)
-      val sec = "%.3f".format(best._1)
+      // Locale.ROOT: the parent parses a dot-decimal regex; a comma-decimal
+      // default locale would silently truncate the captured seconds
+      val sec = String.format(java.util.Locale.ROOT, "%.3f",
+        java.lang.Double.valueOf(best._1))
       println(s"""GRAFT_CLUSTER_RESULT {"workers":$workers,"sec":$sec,"tokens":${best._2}}""")
     } finally s.stop()
   }

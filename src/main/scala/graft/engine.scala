@@ -75,6 +75,7 @@ object Zframe {
         "outer frame 'zstdd' requires the block's zdict column")
       var e = dctxCache.get()
       if (e == null || !java.util.Arrays.equals(e._1, zdict)) {
+        if (e != null) e._2.close() // native memory, not GC-visible
         val ctx = new com.github.luben.zstd.ZstdDecompressCtx()
         ctx.loadDict(zdict)
         e = (zdict, ctx)
@@ -274,7 +275,20 @@ object BlockEncoder {
     private val buf = it.buffered
     private var blockSeq = 0L
     private val cache = new TableCache
-    def hasNext: Boolean = buf.hasNext
+    // release the native compress context when the task ends (covers
+    // partially-consumed iterators) — zstd contexts are off-heap and
+    // invisible to GC pressure
+    locally {
+      val tc = TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        if (cache.zcctx != null) { cache.zcctx.close(); cache.zcctx = null }
+      }
+    }
+    def hasNext: Boolean = {
+      val more = buf.hasNext
+      if (!more && cache.zcctx != null) { cache.zcctx.close(); cache.zcctx = null }
+      more
+    }
     def next(): EncodedBlock = {
       val partId = buf.head._1
       val rows = scala.collection.mutable.ArrayBuffer.empty[TokenRow]

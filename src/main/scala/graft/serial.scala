@@ -467,11 +467,19 @@ object Json5 {
           pos += 1
           xs.result()
         case '"' | '\'' => string(s(pos))
-        case 't' => pos += 4; true
-        case 'f' => pos += 5; false
-        case 'n' => pos += 4; null
+        case 't' => literal("true"); true
+        case 'f' => literal("false"); false
+        case 'n' => literal("null"); null
         case _ => number()
       }
+    }
+
+    // validate the literal text — skipping a fixed width would silently
+    // misparse e.g. "tree" as true
+    private def literal(word: String): Unit = {
+      require(s.regionMatches(pos, word, 0, word.length),
+        s"json5: bad literal at $pos")
+      pos += word.length
     }
 
     private def key(): String = {
@@ -646,15 +654,20 @@ object JsonValue {
             xs.result()
           }
         case '"' => string()
-        case 't' => pos += 4; true
-        case 'f' => pos += 5; false
-        case 'n' => pos += 4; null
+        case 't' => literal("true"); true
+        case 'f' => literal("false"); false
+        case 'n' => literal("null"); null
         case _ =>
           val start = pos
           while (pos < s.length && "+-0123456789.eE".indexOf(s(pos)) >= 0) pos += 1
           val t = s.substring(start, pos)
           if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble else t.toLong
       }
+    }
+    private def literal(word: String): Unit = {
+      require(s.regionMatches(pos, word, 0, word.length),
+        s"json: bad literal at $pos")
+      pos += word.length
     }
     def string(): String = {
       expect('"')

@@ -96,14 +96,14 @@ object SimSearch {
     val spark = corpus.sparkSession
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(hyperplanes(bits, dim))
-    val sigs = corpus.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val pl = planes.value
-        it.map { case (id, v) => (id, signature(v, pl), v) }
-      }
-      .toDF("vec_id", "sig", "embedding")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = TextOps.SigCache.persist(
+      corpus.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val pl = planes.value
+          it.map { case (id, v) => (id, signature(v, pl), v) }
+        }
+        .toDF("vec_id", "sig", "embedding"))
     val flipMasks = lit(0L) +: (0 until probes).map(b => lit(1L << b))
     sigs.select(
       col("vec_id"),

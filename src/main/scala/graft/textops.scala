@@ -180,13 +180,30 @@ object TextOps {
     sig
   }
 
+  /** Bounded registry for the dedup/LSH signature caches: each operator
+    * call persists one signature DataFrame (load-bearing — the count pass
+    * and group pass of [[boundedBuckets]] must share one text→signature
+    * computation), and the registry unpersists the oldest beyond a small
+    * window so a long-lived session calling dedup repeatedly cannot
+    * accumulate unbounded cached blocks.
+    */
+  private[graft] object SigCache {
+    private val Keep = 8
+    private val recent = new java.util.ArrayDeque[DataFrame]()
+    def persist(df: DataFrame): DataFrame = synchronized {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      recent.addLast(p)
+      while (recent.size > Keep) recent.removeFirst().unpersist(false)
+      p
+    }
+  }
+
   /** Doc ids + banded minhash bucket keys — shared by the pair generator
     * and [[minhashBucketStats]]. The signature stage (the expensive
     * text→minhash map) is persisted MEMORY_AND_DISK so [[boundedBuckets]]'s
     * count pass and group pass share one computation; the cache is ~0.5 KB
     * per doc (id + k longs), orders of magnitude smaller than the text it
-    * replaces. Callers running in a long-lived session can release it with
-    * `spark.catalog.clearCache()`.
+    * replaces, and [[SigCache]] bounds how many stay resident.
     */
   private[graft] def minhashBanded(df: DataFrame, k: Int, bands: Int): DataFrame = {
     val spark = df.sparkSession
@@ -194,9 +211,9 @@ object TextOps {
     val rowsPerBand = k / bands
     // signature = native codegen expression (expressions.scala MinhashSig):
     // one generated-code call per row, no Dataset-encoder round-trip
-    val sigs = df.select(col("doc_id").cast("long").as("doc_id"),
-        call_function("minhash_sig", col("text"), lit(k), lit(42L)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = SigCache.persist(
+      df.select(col("doc_id").cast("long").as("doc_id"),
+        call_function("minhash_sig", col("text"), lit(k), lit(42L)).as("sig")))
     sigs.select(
       col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band")
@@ -345,10 +362,10 @@ object TextOps {
     val los = widths.scanLeft(0)(_ + _).take(nSeg)
     val masks = widths.map(w => if (w >= 64) -1L else (1L << w) - 1L)
     GraftFunctions.register(spark) // idempotent
-    val sigs = df.select(col("doc_id").cast("long").as("doc_id"),
-        call_function("simhash64", col("text")).as("sim"))
-      // shared by boundedBuckets' count + group passes, like minhashBanded
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shared by boundedBuckets' count + group passes, like minhashBanded
+    val sigs = SigCache.persist(
+      df.select(col("doc_id").cast("long").as("doc_id"),
+        call_function("simhash64", col("text")).as("sim")))
     sigs.select(col("doc_id"), col("sim"),
       explode(sequence(lit(0), lit(nSeg - 1))).as("s"))
       .withColumn("lo", element_at(lit(los), col("s") + 1))

@@ -212,4 +212,15 @@ class SerialSpec extends AnyFunSuite {
     val v = Map("a" -> Vector(1L, "x"), "b" -> 2.5)
     assert(Serialization.deserialize("json5", Serialization.serialize("json5", v)) == v)
   }
+
+  test("json/json5: literals are validated, not width-skipped") {
+    // "tree"/"nope" must error, not silently parse as true/null
+    intercept[Exception](Json5.parse("[tree]"))
+    intercept[Exception](Json5.parse("[nope]"))
+    intercept[Exception](Json5.parse("[fals]"))
+    intercept[Exception](Serialization.deserialize("json", "[tree]".getBytes("UTF-8")))
+    assert(Json5.parse("[true, false, null]") == Vector(true, false, null))
+    assert(Serialization.deserialize("json", "[true,false,null]".getBytes("UTF-8")) ==
+      Vector(true, false, null))
+  }
 }
