@@ -86,24 +86,31 @@ object SimSearch {
     sig
   }
 
-  /** Signatures persisted pre-expansion (MEMORY_AND_DISK) so
-    * TextOps.boundedBuckets' count pass and group pass share one
-    * hyperplane-projection computation; the multi-probe bucket expansion
-    * (base signature plus 1-bit flips) is cheap codegen over the cache.
+  /** Banded LSH stream: (vec_id, bucket, embedding) with multi-probe
+    * expansion (base signature plus 1-bit flips).
+    *
+    * Deliberately NOT persisted, unlike minhash/simhash's signature caches:
+    * the hyperplane projection is bits x dim multiply-adds over floats the
+    * scan already materialized — far cheaper than a text→shingle→minhash
+    * pass — while the cached stage would be corpus-sized (it must carry the
+    * embedding column for the verify cosine). At 100 TB a corpus-sized
+    * MEMORY_AND_DISK cache just becomes a second disk write+read;
+    * recomputing the projection for boundedBuckets' count pass and group
+    * pass costs two column-pruned scans and zero cache footprint (round-3
+    * advice: the cached variant pinned the full embedding column resident).
     */
   private def lshBanded(corpus: DataFrame, bits: Int, probes: Int,
                         dim: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(hyperplanes(bits, dim))
-    val sigs = TextOps.SigCache.persist(
-      corpus.select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .mapPartitions { it =>
-          val pl = planes.value
-          it.map { case (id, v) => (id, signature(v, pl), v) }
-        }
-        .toDF("vec_id", "sig", "embedding"))
+    val sigs = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val pl = planes.value
+        it.map { case (id, v) => (id, signature(v, pl), v) }
+      }
+      .toDF("vec_id", "sig", "embedding")
     val flipMasks = lit(0L) +: (0 until probes).map(b => lit(1L << b))
     sigs.select(
       col("vec_id"),
@@ -177,8 +184,10 @@ object SimSearch {
     out
   }
 
-  private[graft] def nearestCell(v: Array[Float], cents: Array[Array[Double]]): Int = {
-    val u = normalized(v)
+  private[graft] def nearestCell(v: Array[Float], cents: Array[Array[Double]]): Int =
+    nearestCellUnit(normalized(v), cents)
+
+  private def nearestCellUnit(u: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0
     var bestDot = Double.NegativeInfinity
     var c = 0
@@ -195,9 +204,19 @@ object SimSearch {
 
   /** Train a deterministic coarse quantizer: k seed vectors chosen by
     * xxhash64(vec_id) order (reproducible "random" sample), then `iters`
-    * Lloyd rounds with cosine assignment. Centroid update streams each
-    * cell's members through one bounded accumulator (mapGroups) — no
-    * per-cell materialization; the only driver state is k x dim doubles.
+    * Lloyd rounds with cosine assignment.
+    *
+    * Centroid update = MAP-SIDE PARTIAL AGGREGATION: each input partition
+    * folds its rows into one k x dim accumulator and emits a single tiny
+    * (pid, sums, counts) row, so the corpus itself never shuffles. (The
+    * round-3 `groupByKey(cell).mapGroups` formulation had no map-side
+    * combine — every Lloyd iteration streamed the ENTIRE corpus into
+    * <= kCells reducer tasks, the wall-time-straggler class at 10^12
+    * vectors.) Partials combine through a deterministic two-level fan-in:
+    * partition partials sort by pid inside each fan-in group, group
+    * results sort on the driver — bit-stable centroids for a fixed input
+    * partitioning at ANY parallelism, and every task in the reduce sees
+    * at most fanIn x (k x dim doubles), independent of corpus size.
     */
   def ivfCentroids(corpus: DataFrame, kCells: Int = 16,
                    iters: Int = 4): Array[Array[Double]] = {
@@ -213,28 +232,73 @@ object SimSearch {
       .limit(kCells)
       .collect()
       .map(p => normalized(p._2))
+    val fanIn = 1024
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(cents)
-      val updated = base
-        .map { case (_, v) => (nearestCell(v, bc.value), normalized(v)) }
-        .groupByKey(_._1)
-        .mapGroups { (cell, members) =>
-          val acc = new Array[Double](bc.value(cell).length)
-          var n = 0L
-          members.foreach { case (_, u) =>
-            var i = 0
-            while (i < acc.length && i < u.length) { acc(i) += u(i); i += 1 }
-            n += 1
+      val k = cents.length
+      val dim = cents.iterator.map(_.length).max
+      val partials = base.mapPartitions { rows =>
+        val cs = bc.value
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        rows.foreach { case (_, v) =>
+          val u = normalized(v)
+          val cell = nearestCellUnit(u, cs)
+          val s = sums(cell)
+          var i = 0
+          val n = math.min(dim, u.length)
+          while (i < n) { s(i) += u(i); i += 1 }
+          counts(cell) += 1
+        }
+        if (counts.exists(_ > 0))
+          Iterator.single((org.apache.spark.TaskContext.getPartitionId(),
+            sums.map(_.toSeq).toSeq, counts.toSeq))
+        else Iterator.empty
+      }
+      val combined = partials
+        .groupByKey(_._1 / fanIn)
+        .mapGroups { (g, ps) =>
+          val sums = Array.fill(k)(new Array[Double](dim))
+          val counts = new Array[Long](k)
+          ps.toArray.sortBy(_._1).foreach { case (_, s, c) =>
+            var cell = 0
+            while (cell < k) {
+              val src = s(cell)
+              val dst = sums(cell)
+              var i = 0
+              while (i < dim) { dst(i) += src(i); i += 1 }
+              counts(cell) += c(cell)
+              cell += 1
+            }
           }
-          (cell, acc.map(_ / math.max(n, 1)))
+          (g, sums.map(_.toSeq).toSeq, counts.toSeq)
         }
         .collect()
+        .sortBy(_._1)
+      val totSums = Array.fill(k)(new Array[Double](dim))
+      val totCounts = new Array[Long](k)
+      combined.foreach { case (_, s, c) =>
+        var cell = 0
+        while (cell < k) {
+          val src = s(cell)
+          val dst = totSums(cell)
+          var i = 0
+          while (i < dim) { dst(i) += src(i); i += 1 }
+          totCounts(cell) += c(cell)
+          cell += 1
+        }
+      }
       val next = cents.map(_.clone())
-      updated.foreach { case (cell, mean) =>
-        // re-normalize the mean so assignment stays pure-cosine
-        val nrm = math.sqrt(mean.map(x => x * x).sum)
-        next(cell) = if (nrm == 0) cents(cell) else mean.map(_ / nrm)
+      var cell = 0
+      while (cell < k) {
+        if (totCounts(cell) > 0) {
+          val mean = totSums(cell).map(_ / totCounts(cell))
+          // re-normalize the mean so assignment stays pure-cosine
+          val nrm = math.sqrt(mean.map(x => x * x).sum)
+          if (nrm != 0) next(cell) = mean.map(_ / nrm)
+        } // empty cell keeps its previous centroid
+        cell += 1
       }
       cents = next
       it += 1

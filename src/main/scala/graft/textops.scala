@@ -180,21 +180,29 @@ object TextOps {
     sig
   }
 
-  /** Bounded registry for the dedup/LSH signature caches: each operator
-    * call persists one signature DataFrame (load-bearing — the count pass
-    * and group pass of [[boundedBuckets]] must share one text→signature
-    * computation), and the registry unpersists the oldest beyond a small
-    * window so a long-lived session calling dedup repeatedly cannot
-    * accumulate unbounded cached blocks.
+  /** Bounded registry for the text-dedup signature caches: each minhash/
+    * simhash operator call persists one SLIM signature DataFrame — doc_id
+    * plus k longs (minhash, ~0.5 KB/doc) or one long (simhash, ~16 B/doc),
+    * never the text or an embedding column — load-bearing because the
+    * count pass and group pass of [[boundedBuckets]] must share one
+    * expensive text→signature computation. (SimSearch.lshBanded does NOT
+    * use this registry: its projection is cheap to recompute and its stage
+    * would be corpus-sized.) The registry unpersists the oldest beyond a
+    * small window so a long-lived session calling dedup repeatedly cannot
+    * accumulate unbounded cached blocks; [[clear]] releases everything
+    * eagerly once a caller has fully consumed its operator's output.
     */
   private[graft] object SigCache {
-    private val Keep = 8
+    private val Keep = 4
     private val recent = new java.util.ArrayDeque[DataFrame]()
     def persist(df: DataFrame): DataFrame = synchronized {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       recent.addLast(p)
       while (recent.size > Keep) recent.removeFirst().unpersist(false)
       p
+    }
+    def clear(): Unit = synchronized {
+      while (!recent.isEmpty) recent.removeFirst().unpersist(false)
     }
   }
 

@@ -110,6 +110,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("dropped_candidate_pairs") >= 2000L * 1999 / 2)
   }
 
+  test("IVF training never shuffles the corpus (map-side partial aggregation)") {
+    import spark.implicits._
+    val n = 20000
+    val dim = 32
+    val df = (0L until n.toLong)
+      .map(i => (i, Array.tabulate(dim)(d => math.sin(i * dim + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val corpusBytes = n.toLong * dim * 8 // normalized doubles, what r3 shuffled
+    @volatile var shuffleWrite = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val c1 = SimSearch.ivfCentroids(df, kCells = 8, iters = 3)
+      // async listener bus: poll until the counter stabilizes
+      var last = -1L
+      var spins = 0
+      while (shuffleWrite != last && spins < 20) {
+        last = shuffleWrite; Thread.sleep(250); spins += 1
+      }
+      // the r3 groupByKey(cell).mapGroups funnel shuffled the whole corpus
+      // per Lloyd iteration (3 x corpusBytes here); partial aggregation
+      // shuffles only per-partition k x dim accumulators
+      assert(shuffleWrite < corpusBytes / 4,
+        s"IVF training shuffled $shuffleWrite bytes (corpus=$corpusBytes)")
+      // partial-agg reformulation stays deterministic
+      val c2 = SimSearch.ivfCentroids(df, kCells = 8, iters = 3)
+      assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("DocIdOrder matches Spark UTF8 ordering on supplementary-plane ids") {
     import spark.implicits._
     val emoji = new String(Character.toChars(0x1F600)) // 4 UTF-8 bytes
