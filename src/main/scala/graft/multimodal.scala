@@ -155,7 +155,18 @@ object MediaOps {
               val ep = ifd + 2 + e * 12
               if (ep + 12 > bytes.length) return 1
               if (u16(ep) == OrientationTag) {
-                val o = u16(ep + 8) // SHORT value lives in the field's first 2 bytes
+                // honor the entry's type + count before trusting the value
+                // field: 3=SHORT (first 2 bytes inline), 4=LONG (u32
+                // inline); anything else (offset-stored, multi-count,
+                // exotic writer) falls back to upright rather than
+                // misreading garbage
+                val typ = u16(ep + 2)
+                val count = u32(ep + 4)
+                val o =
+                  if (count != 1L) -1
+                  else if (typ == 3) u16(ep + 8)
+                  else if (typ == 4) u32(ep + 8).toInt
+                  else -1
                 return if (o >= 1 && o <= 8) o else 1
               }
               e += 1

@@ -336,11 +336,21 @@ object Bson {
     while (i < n) { o.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
   }
 
+  /** Fail-closed like the rest of the Serialization dispatch: truncated or
+    * corrupt input surfaces as InvalidCodecException with the byte offset,
+    * never a raw ArrayIndexOutOfBounds/NumberFormat leak.
+    */
   def decode(b: Array[Byte]): Any = {
     val r = new Reader(b)
-    val v = r.document()
-    require(r.pos == b.length, s"bson: ${b.length - r.pos} trailing bytes")
-    v
+    try {
+      val v = r.document()
+      require(r.pos == b.length, s"bson: ${b.length - r.pos} trailing bytes")
+      v
+    } catch {
+      case e: InvalidCodecException => throw e
+      case e: RuntimeException => throw new InvalidCodecException(
+        s"bson: malformed input at offset ${r.pos}: ${e.getMessage}")
+    }
   }
 
   private final class Reader(b: Array[Byte]) {
@@ -353,15 +363,19 @@ object Bson {
     }
     private def cstring(): String = {
       val start = pos
-      while (b(pos) != 0) pos += 1
+      while (pos < b.length && b(pos) != 0) pos += 1
+      if (pos >= b.length)
+        throw new InvalidCodecException(s"bson: unterminated cstring at $start")
       val s = new String(b, start, pos - start, UTF_8); pos += 1; s
     }
 
     def document(): Map[String, Any] = fields().toMap
 
     private def fields(): Vector[(String, Any)] = {
-      val total = le(4)
-      val end = pos + total.toInt - 5
+      val total = le(4).toInt
+      val end = pos + total - 5
+      if (total < 5 || end >= b.length)
+        throw new InvalidCodecException(s"bson: bad document length $total at ${pos - 4}")
       val out = Vector.newBuilder[(String, Any)]
       while (pos < end) out += element()
       require(u8() == 0, "bson: document not NUL-terminated")
@@ -375,6 +389,8 @@ object Bson {
         case 0x01 => java.lang.Double.longBitsToDouble(le(8))
         case 0x02 =>
           val n = le(4).toInt
+          if (n < 1 || pos + n > b.length)
+            throw new InvalidCodecException(s"bson: bad string length $n at ${pos - 4}")
           val s = new String(b, pos, n - 1, UTF_8); pos += n; s
         case 0x03 => document()
         case 0x04 => fields().map(_._2) // array: values in key order 0,1,...
@@ -382,6 +398,8 @@ object Bson {
           val n = le(4).toInt
           val sub = u8()
           require(sub == 0, s"bson: binary subtype $sub unsupported")
+          if (n < 0 || pos + n > b.length)
+            throw new InvalidCodecException(s"bson: bad binary length $n at ${pos - 5}")
           val out = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; out
         case 0x08 => u8() != 0
         case 0x0a => null
@@ -405,12 +423,21 @@ object Bson {
   * Infinity/NaN, escaped newlines in strings.
   */
 object Json5 {
+  /** Fail-closed: malformed JSON5 (truncated literal, bad escape, bad
+    * number) surfaces as InvalidCodecException with the char offset.
+    */
   def parse(s: String): Any = {
     val p = new P(s)
-    val v = p.value()
-    p.ws()
-    require(p.pos == s.length, s"json5: trailing input at ${p.pos}")
-    v
+    try {
+      val v = p.value()
+      p.ws()
+      require(p.pos == s.length, s"json5: trailing input at ${p.pos}")
+      v
+    } catch {
+      case e: InvalidCodecException => throw e
+      case e: RuntimeException => throw new InvalidCodecException(
+        s"json5: malformed input at offset ${p.pos}: ${e.getMessage}")
+    }
   }
 
   private final class P(s: String) {

@@ -188,6 +188,27 @@ class MediaOpsSpec extends AnyFunSuite {
       val img = ImageCodec.decode(tagged)
       assert(img.getWidth == 19 && img.getHeight == 11)
     }
+    // some writers store orientation as LONG (type 4) — honored; entries
+    // with a non-1 count or an offset-stored type fall back to upright
+    // instead of misreading the value field
+    def tagged(typ: Int, count: Int, value: Int): Array[Byte] = {
+      val tiff = Array[Byte](
+        'I', 'I', 0x2A, 0, 8, 0, 0, 0,
+        1, 0,
+        0x12, 0x01, typ.toByte, 0, count.toByte, 0, 0, 0,
+        value.toByte, 0, 0, 0,
+        0, 0, 0, 0)
+      val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+      val len = payload.length + 2
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload ++ jpeg.drop(2)
+    }
+    assert(MediaOps.Exif.orientation(tagged(typ = 4, count = 1, value = 6)) == 6,
+      "LONG-typed orientation honored")
+    assert(MediaOps.Exif.orientation(tagged(typ = 3, count = 2, value = 6)) == 1,
+      "multi-count entry -> upright")
+    assert(MediaOps.Exif.orientation(tagged(typ = 1, count = 1, value = 6)) == 1,
+      "BYTE-typed entry -> upright")
     // pixel law for rotate-90-CW (orientation 6): src (x,y) -> dst (h-1-y, x)
     val img = ImageCodec.synthImage(3L)
     val rot = MediaOps.Exif.applyOrientation(img, 6)

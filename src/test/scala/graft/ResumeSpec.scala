@@ -131,6 +131,32 @@ class ResumeSpec extends AnyFunSuite {
     assert(s3.lineage.values.flatMap(_.codecs.keys).toSet == Set("plain"))
   }
 
+  test("pre-zdict block tables (no zdict column) read back and decode") {
+    // Tables written before EncodedBlock gained `zdict` lack the column on
+    // disk; every reader passes the explicit encoder schema, so the column
+    // must surface as null and decode must treat that as dict-less.
+    val input = Fixtures.tokenTable(spark, 300L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_prezdict").toString
+    ResumableEncodeJob.run(input, dir, EncodeOptions(numParts = 3))
+    // strip the zdict column in place, emulating the legacy layout
+    val dataDir = ManifestIO.dataDir(dir).toString
+    val legacy = spark.read.parquet(dataDir).drop("zdict")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prezdict_tmp").toString
+    legacy.write.partitionBy("part_id").parquet(s"$tmp/data")
+    val f = ManifestIO.fs(spark, dir)
+    f.delete(new org.apache.hadoop.fs.Path(dataDir), true)
+    f.rename(new org.apache.hadoop.fs.Path(s"$tmp/data"),
+      new org.apache.hadoop.fs.Path(dataDir))
+    assert(!spark.read.parquet(dataDir).columns.contains("zdict"))
+    val blocks = ResumableEncodeJob.readBlocks(spark, dir)
+    val back = TokenCompressor(EncodeOptions(numParts = 3)).decode(blocks)
+      .collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
+    assert(back == input.collect().map(r => r.doc_id -> r.tokens.toSeq).toMap)
+    // range reads share the explicit-schema path
+    val some = RangeReader.readRange(spark, dir, "", "￿").collect()
+    assert(some.length == 300)
+  }
+
   test("concurrent snapshot commit loses cleanly (no silent clobber)") {
     import org.apache.spark.sql.Encoders
     val input = Fixtures.tokenTable(spark, 100L)

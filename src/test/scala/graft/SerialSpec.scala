@@ -223,4 +223,26 @@ class SerialSpec extends AnyFunSuite {
     assert(Serialization.deserialize("json", "[true,false,null]".getBytes("UTF-8")) ==
       Vector(true, false, null))
   }
+
+  test("bson/json5 fail closed on truncated and corrupt input") {
+    val good = Bson.encode(Map("a" -> 1L, "s" -> "hello", "b" -> Array[Byte](1, 2, 3)))
+    // every truncation point raises the typed codec error, never a raw
+    // ArrayIndexOutOfBounds / NegativeArraySize leak
+    (0 until good.length).foreach { n =>
+      intercept[InvalidCodecException](Bson.decode(good.take(n)))
+    }
+    // corrupt declared lengths: document length beyond the buffer, string
+    // length beyond the buffer, negative binary length
+    val longDoc = good.clone(); longDoc(0) = 127; longDoc(1) = 0
+    intercept[InvalidCodecException](Bson.decode(longDoc))
+    val zeroStr = good.clone()
+    val strLenOff = good.indexOfSlice("hello".getBytes("UTF-8")) - 4
+    zeroStr(strLenOff) = 100
+    intercept[InvalidCodecException](Bson.decode(zeroStr))
+    // json5: truncated string/number/comment all surface as InvalidCodec
+    Seq("{a: 'unterminated", "[1, 2", "/* open comment", "[0x]", "{\"k\":", "[+]")
+      .foreach { bad =>
+        intercept[InvalidCodecException](Json5.parse(bad))
+      }
+  }
 }
