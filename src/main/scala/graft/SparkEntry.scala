@@ -484,11 +484,14 @@ object SparkEntry {
       // SQL-enumerable) but ADMITS any pair touching a disjoint-vocabulary
       // decoy, so the oracle also proves precision: a false-positive spray
       // would surface as extra rows. maxBucket is raised well above any
-      // bucket this data produces so the cap cannot interact with recall.
+      // bucket this data produces so the cap cannot interact with recall —
+      // and the cap's dropped-pair count rides in the output (oracle pins
+      // 0), so a silently-raised cap hash-breaks the oracle instead of
+      // shrinking recall invisibly.
       TextOps.minhashDupPairs(withTextDecoys(docsWithNearDups(s, dir)),
-          minJaccard = 0.5, maxBucket = 4096)
+          minJaccard = 0.5, maxBucket = 4096, auditDropped = true)
         .where(plantedOrDecoy("doc_a", "doc_b", 2000000L, 3000000L))
-        .select(col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("dropped_pairs"))
         .orderBy("doc_a")
     }),
     "dd_simhash" -> ((s, dir) => {
@@ -497,9 +500,9 @@ object SparkEntry {
       // Decoy pairs (unique vocabulary, expected hamming ~32) must be
       // absent — precision checked by the same oracle.
       TextOps.simhashDupPairs(withTextDecoys(docsWithDups(s, dir)),
-          maxHamming = 3, maxBucket = 4096)
+          maxHamming = 3, maxBucket = 4096, auditDropped = true)
         .where(plantedOrDecoy("doc_a", "doc_b", 1000000L, 3000000L))
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .select(col("doc_a"), col("doc_b"), col("hamming"), col("dropped_pairs"))
         .orderBy("doc_a")
     }),
     "dd_ngram_jaccard" -> ((s, dir) => {
@@ -655,20 +658,33 @@ object SparkEntry {
       // exact and cosine is 1.0 by construction; pseudo-random decoy
       // directions (vec_id + 2000000) must produce ZERO pairs >= 0.9
       SimSearch.lshNearPairs(embsWithPlantedAndDecoys(s, dir), bits = 12,
-          minCos = 0.9, probes = 2, maxBucket = 4096)
+          minCos = 0.9, probes = 2, maxBucket = 4096, auditDropped = true)
         .where(plantedOrDecoy("vec_a", "vec_b", 1000000L, 2000000L))
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"),
+          col("dropped_pairs"))
         .orderBy("vec_a")),
     "ann_ivf" -> ((s, dir) => {
       // IVF scale path: planted scaled-copy queries normalize to the same
       // direction as their originals, so they land in the SAME cell with
-      // certainty -> rank-1 neighbor is the original at cosine exactly 1.0
+      // certainty -> rank-1 neighbor is the original at cosine exactly 1.0.
+      // Precision decoys: pseudo-random unit directions (vec_id + 2000000,
+      // same generator as the LSH decoys) whose best in-cell cosine in
+      // 64-dim space concentrates near 0 — the >= 0.99 gate must eliminate
+      // every decoy row, so a cosine-inflation bug (or a degenerate cell
+      // assignment returning wrong neighbors at fabricated similarity)
+      // surfaces as extra oracle rows instead of passing silently.
       val corpus = embs(s, dir)
-      val queries = corpus.where(col("vec_id") % 10 === 0)
+      val planted = corpus.where(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"), v => v * lit(2.0f)).as("embedding"))
-      SimSearch.ivfTopK(corpus, queries, k = 1, kCells = 8, nprobe = 1)
-        .where(col("rank") === 1)
+      val decoys = corpus.where(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            j => (xxhash64(col("vec_id"), j).cast("double") /
+              lit(9.223372036854776e18)).cast("float")).as("embedding"))
+      SimSearch.ivfTopK(corpus, planted.unionByName(decoys),
+          k = 1, kCells = 8, nprobe = 1)
+        .where(col("rank") === 1 && col("cos") >= 0.99)
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
         .orderBy("query_id")
     }),
@@ -926,10 +942,12 @@ object SparkEntry {
           |  true AS identical, true AS nonempty
           |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_a""".stripMargin,
       "dd_minhash" ->
-        """SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b
+        """SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b,
+          |  cast(0 as bigint) AS dropped_pairs
           |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_a""".stripMargin,
       "dd_simhash" ->
-        """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, cast(0 as int) AS hamming
+        """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, cast(0 as int) AS hamming,
+          |  cast(0 as bigint) AS dropped_pairs
           |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_a""".stripMargin,
       "dd_ngram_jaccard" ->
         """SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b
@@ -959,7 +977,8 @@ object SparkEntry {
         """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1.0 AS cos
           |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin,
       "ann_lsh_pairs" ->
-        """SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, 1.0 AS cos
+        """SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, 1.0 AS cos,
+          |  cast(0 as bigint) AS dropped_pairs
           |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY vec_a""".stripMargin,
       "dd_exact" ->
         s"""SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_doc_id

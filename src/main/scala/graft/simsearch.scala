@@ -148,10 +148,11 @@ object SimSearch {
       minCos: Double = 0.95,
       probes: Int = 0,
       dim: Int = 64,
-      maxBucket: Int = 256
+      maxBucket: Int = 256,
+      auditDropped: Boolean = false
   ): DataFrame = {
     val sigs = lshBanded(corpus, bits, probes, dim)
-    TextOps.boundedBuckets(sigs, Seq("bucket"),
+    val pairs = TextOps.boundedBuckets(sigs, Seq("bucket"),
       struct(col("vec_id"), col("embedding")), maxBucket)
       .select(explode(expr(
         """flatten(transform(members, (m, i) ->
@@ -163,6 +164,12 @@ object SimSearch {
         cosineCol(col("p.ea"), col("p.eb")).as("cos"))
       .where(col("cos") >= minCos)
       .dropDuplicates("vec_a", "vec_b")
+    // audit pass is count-only over the banded stream (no member structs,
+    // no embedding shuffle): groupBy(bucket).count partial-aggregates
+    // map-side, then one broadcast row rides every output pair
+    if (auditDropped)
+      TextOps.withDroppedAudit(pairs, sigs, Seq("bucket"), maxBucket)
+    else pairs
   }
 
   /** Embedding-cosine near-duplicate detection = LSH pairs at a high

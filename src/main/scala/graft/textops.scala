@@ -279,7 +279,7 @@ object TextOps {
   ): DataFrame =
     bucketStatsOf(minhashBanded(df, k, bands), Seq("band", "bucket"), maxBucket)
 
-  private def bucketStatsOf(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+  private[graft] def bucketStatsOf(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
     banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz"))
       .agg(
         count(lit(1)).as("n_buckets"),
@@ -302,7 +302,8 @@ object TextOps {
       k: Int = 64,
       bands: Int = 16,
       minJaccard: Double = 0.7,
-      maxBucket: Int = 64
+      maxBucket: Int = 64,
+      auditDropped: Boolean = false
   ): DataFrame = {
     val banded = minhashBanded(df, k, bands)
     val buckets = boundedBuckets(banded, Seq("band", "bucket"),
@@ -317,8 +318,21 @@ object TextOps {
       .select("p.doc_a", "p.doc_b", "p.est_jaccard")
       .where(col("est_jaccard") >= minJaccard)
       .dropDuplicates("doc_a", "doc_b")
-    pairs
+    if (auditDropped) withDroppedAudit(pairs, banded, Seq("band", "bucket"), maxBucket)
+    else pairs
   }
+
+  /** Appends a constant `dropped_pairs` column — the total candidate pairs
+    * the maxBucket cap excluded — so a silently-raised cap is visible IN
+    * the operator's own output (and hash-breaks any oracle that pinned 0).
+    * Costs one extra count-only aggregate pass over the banded stream (the
+    * signature stage is cached, partial aggregation map-side combines);
+    * the joined side is a single broadcast row.
+    */
+  private[graft] def withDroppedAudit(pairs: DataFrame, banded: DataFrame,
+      keys: Seq[String], maxBucket: Int): DataFrame =
+    pairs.crossJoin(broadcast(bucketStatsOf(banded, keys, maxBucket)
+      .select(col("dropped_candidate_pairs").as("dropped_pairs"))))
 
   /** 64-bit SimHash over word unigram hashes. */
   def simhash(text: String): Long = {
@@ -347,8 +361,10 @@ object TextOps {
     * buckets pre-filtered like minhash ([[boundedBuckets]]).
     */
   def simhashDupPairs(df: DataFrame, maxHamming: Int = 3,
-                      maxBucket: Int = 64): DataFrame = {
-    boundedBuckets(simhashBanded(df, maxHamming), Seq("key"),
+                      maxBucket: Int = 64,
+                      auditDropped: Boolean = false): DataFrame = {
+    val banded = simhashBanded(df, maxHamming)
+    val pairs = boundedBuckets(banded, Seq("key"),
       struct(col("doc_id"), col("sim")), maxBucket)
       .select(explode(expr(
         """flatten(transform(members, (m, i) ->
@@ -359,6 +375,8 @@ object TextOps {
       .select("p.doc_a", "p.doc_b", "p.hamming")
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
+    if (auditDropped) withDroppedAudit(pairs, banded, Seq("key"), maxBucket)
+    else pairs
   }
 
   private def simhashBanded(df: DataFrame, maxHamming: Int): DataFrame = {

@@ -41,4 +41,20 @@ class PrecisionSpec extends AnyFunSuite {
     assert(ps.nonEmpty)
     assert(ps.forall { case (a, b) => b == a + 1000000L && a < 2000000L })
   }
+
+  test("ann_ivf: planted queries survive, decoy queries eliminated by the cos gate") {
+    val qs = SparkEntry.queries("ann_ivf")(spark, dir)
+      .select("query_id").collect().map(_.getLong(0))
+    assert(qs.nonEmpty)
+    assert(qs.forall(q => q >= 1000000L && q < 2000000L),
+      s"decoy query leaked through the >=0.99 gate: ${qs.filter(_ >= 2000000L).toSeq}")
+  }
+
+  test("capped operators surface dropped_pairs = 0 when the cap never fires") {
+    for (n <- Seq("dd_minhash", "dd_simhash", "ann_lsh_pairs")) {
+      val d = SparkEntry.queries(n)(spark, dir)
+        .select("dropped_pairs").head().getLong(0)
+      assert(d == 0L, s"$n reports dropped_pairs=$d on uncapped data")
+    }
+  }
 }

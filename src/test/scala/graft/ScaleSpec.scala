@@ -79,6 +79,13 @@ class ScaleSpec extends AnyFunSuite {
     assert(simPairs.forall(r => r.getLong(0) >= 900000L))
     val simStats = TextOps.simhashBucketStats(df, maxHamming = 3, maxBucket = 64).head()
     assert(simStats.getAs[Long]("n_oversized") >= 4L)
+
+    // the in-band audit column must carry the SAME dropped mass, so a
+    // fired cap is visible in the operator's own output rows
+    val audited = TextOps.minhashDupPairs(df, minJaccard = 0.5, maxBucket = 64,
+      auditDropped = true).select("dropped_pairs").head().getLong(0)
+    assert(audited >= 16L * 5000 * 4999 / 2,
+      s"audit column must report the dropped candidate mass, got $audited")
   }
 
   test("simhash blocking generalizes beyond maxHamming=3 (pigeonhole segments)") {
