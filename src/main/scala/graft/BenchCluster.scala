@@ -33,14 +33,24 @@ object BenchCluster {
       .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (4 * 1024 * 1024).toString)
       .config("spark.locality.wait", "0")
+      // AQE ON (Spark default), measured deliberately: an interleaved A/B
+      // at 8 workers had AQE-on ~7% faster in both rounds (min-of-4 6.42
+      // vs 6.88, 5.33 vs 5.74 s) — its partition coalescing merges the 64
+      // ~25 MB routed shuffle partitions into fewer right-sized tasks,
+      // which outweighs the re-plan pause; leg2 was neutral (20.2 vs
+      // 19.3 s under heavier load). Knob kept for future A/Bs.
+      .config("spark.sql.adaptive.enabled", sys.props.getOrElse("graft.aqe", "true"))
       .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
+    s.sparkContext.setLogLevel(sys.props.getOrElse("graft.loglevel", "ERROR"))
     try {
       import org.apache.spark.sql.Encoders
       // 64 planned parts ~= 6-8M tokens (25-30 MB) per encode task at the
       // parent-chosen >=400M-token job: few scheduling waves, real per-task
       // work — the shape a 1000-executor run would use per core
-      val opts = EncodeOptions(numParts = 64, sampleMod = 16)
+      val nParts = if (args.length > 3) args(3).toInt else 64
+      val pack = args.length > 4 && args(4) == "pack"
+      val opts = EncodeOptions(numParts = nParts, sampleMod = 16,
+        packShuffle = pack)
       val ds = s.read.parquet(fixturePath).as[TokenRow](Encoders.product[TokenRow])
       val plan = Planner.plan(ds, opts)
       val comp = TokenCompressor(opts)
@@ -53,8 +63,16 @@ object BenchCluster {
       // JIT + page-cache warmup in THIS cluster's executor JVMs — at the
       // parent-chosen job size (>= 400M tokens) one full pass pushes the
       // encode kernel far past C2 thresholds on every executor
-      once()
-      val best = (1 to reps).map(_ => once()).minBy(_._1)
+      val warm = once()
+      val runs = (1 to reps).map(_ => once())
+      val best = runs.minBy(_._1)
+      // per-rep times on a separate diagnostic line (parent parses only the
+      // GRAFT_CLUSTER_RESULT marker): JIT-vs-steady-state visibility
+      println(String.format(java.util.Locale.ROOT,
+        "GRAFT_CLUSTER_REPS warm=%.3f reps=%s",
+        java.lang.Double.valueOf(warm._1),
+        runs.map(r => String.format(java.util.Locale.ROOT, "%.3f",
+          java.lang.Double.valueOf(r._1))).mkString(",")))
       // Locale.ROOT: the parent parses a dot-decimal regex; a comma-decimal
       // default locale would silently truncate the captured seconds
       val sec = String.format(java.util.Locale.ROOT, "%.3f",

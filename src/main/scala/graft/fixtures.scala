@@ -138,4 +138,27 @@ object Fixtures {
   /** Local (driver-side) generation for unit tests without a session. */
   def localRows(nDocs: Int, seed: Long = 42L): Array[TokenRow] =
     Array.tabulate(nDocs)(i => row(seed, i.toLong))
+
+  /** Dict-friendly table (zdict bench leg): every doc is one of 64 shared
+    * 64-token motifs, so consecutive small blocks share almost all their
+    * bytes while no motif repeats within one ~64-doc block — plain
+    * per-block zstd has no history to exploit, a shared dictionary does.
+    * Deterministic: doc i carries motif (i * 33 mod 64) under `seed`.
+    */
+  def motifTable(spark: SparkSession, nDocs: Long, seed: Long = 7L,
+                 partitions: Int = 0): Dataset[TokenRow] = {
+    val p = if (partitions > 0) partitions
+            else spark.sparkContext.defaultParallelism
+    spark.range(0, nDocs, 1, p)
+      .mapPartitions { it =>
+        val motifs = Array.tabulate(64) { m =>
+          val r = new Rng(seed ^ (m * 0x9E3779B97F4A7C15L))
+          Array.fill(64)(r.nextInt(Vocab))
+        }
+        it.map { i =>
+          val m = motifs(((i * 33) % 64).toInt)
+          TokenRow(f"motif-$i%010d", m, m.length, "motif")
+        }
+      }(Encoders.product[TokenRow])
+  }
 }
