@@ -152,8 +152,12 @@ object SimSearch {
       auditDropped: Boolean = false
   ): DataFrame = {
     val sigs = lshBanded(corpus, bits, probes, dim)
-    val pairs = TextOps.boundedBuckets(sigs, Seq("bucket"),
-      struct(col("vec_id"), col("embedding")), maxBucket)
+    val (buckets, dropped) =
+      if (auditDropped) TextOps.boundedBucketsAudited(sigs, Seq("bucket"),
+        struct(col("vec_id"), col("embedding")), maxBucket)
+      else (TextOps.boundedBuckets(sigs, Seq("bucket"),
+        struct(col("vec_id"), col("embedding")), maxBucket), 0L)
+    val pairs = buckets
       .select(explode(expr(
         """flatten(transform(members, (m, i) ->
           |  transform(slice(members, i + 2, size(members)), n ->
@@ -164,11 +168,7 @@ object SimSearch {
         cosineCol(col("p.ea"), col("p.eb")).as("cos"))
       .where(col("cos") >= minCos)
       .dropDuplicates("vec_a", "vec_b")
-    // audit pass is count-only over the banded stream (no member structs,
-    // no embedding shuffle): groupBy(bucket).count partial-aggregates
-    // map-side, then one broadcast row rides every output pair
-    if (auditDropped)
-      TextOps.withDroppedAudit(pairs, sigs, Seq("bucket"), maxBucket)
+    if (auditDropped) pairs.withColumn("dropped_pairs", lit(dropped))
     else pairs
   }
 

@@ -306,8 +306,11 @@ object TextOps {
       auditDropped: Boolean = false
   ): DataFrame = {
     val banded = minhashBanded(df, k, bands)
-    val buckets = boundedBuckets(banded, Seq("band", "bucket"),
-      struct(col("doc_id"), col("sig")), maxBucket)
+    val (buckets, dropped) =
+      if (auditDropped) boundedBucketsAudited(banded, Seq("band", "bucket"),
+        struct(col("doc_id"), col("sig")), maxBucket)
+      else (boundedBuckets(banded, Seq("band", "bucket"),
+        struct(col("doc_id"), col("sig")), maxBucket), 0L)
     val pairs = buckets.select(explode(expr(
       """flatten(transform(members, (m, i) ->
         |  transform(slice(members, i + 2, size(members)), n ->
@@ -318,21 +321,48 @@ object TextOps {
       .select("p.doc_a", "p.doc_b", "p.est_jaccard")
       .where(col("est_jaccard") >= minJaccard)
       .dropDuplicates("doc_a", "doc_b")
-    if (auditDropped) withDroppedAudit(pairs, banded, Seq("band", "bucket"), maxBucket)
+    if (auditDropped) pairs.withColumn("dropped_pairs", lit(dropped))
     else pairs
   }
 
-  /** Appends a constant `dropped_pairs` column — the total candidate pairs
-    * the maxBucket cap excluded — so a silently-raised cap is visible IN
-    * the operator's own output (and hash-breaks any oracle that pinned 0).
-    * Costs one extra count-only aggregate pass over the banded stream (the
-    * signature stage is cached, partial aggregation map-side combines);
-    * the joined side is a single broadcast row.
+  /** [[boundedBuckets]] plus the audit the cap owes its callers: the total
+    * candidate-pair mass the maxBucket cap excluded, so a silently-raised
+    * cap is visible IN the operator's own output (and hash-breaks any
+    * oracle that pinned 0). ONE count aggregation serves both the
+    * anti-join gate and the audit — the oversized keys come back WITH
+    * their sizes (the set is bounded by rows/maxBucket, the exact bound
+    * that already justified broadcasting it, enforced loudly here), the
+    * dropped mass is summed from those few rows driver-side, and the gate
+    * side becomes a LocalRelation. Net: an audited operator costs the
+    * same two passes over the banded stream as an unaudited one (the
+    * naive formulation re-aggregated the stream a third time).
     */
-  private[graft] def withDroppedAudit(pairs: DataFrame, banded: DataFrame,
-      keys: Seq[String], maxBucket: Int): DataFrame =
-    pairs.crossJoin(broadcast(bucketStatsOf(banded, keys, maxBucket)
-      .select(col("dropped_candidate_pairs").as("dropped_pairs"))))
+  private[graft] def boundedBucketsAudited(
+      banded: DataFrame, keys: Seq[String], member: Column, maxBucket: Int
+  ): (DataFrame, Long) = {
+    val kc = keys.map(col)
+    val MaxOversized = 1 << 21
+    val oversized = banded.groupBy(kc: _*).agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucket)
+      .take(MaxOversized + 1)
+    require(oversized.length <= MaxOversized,
+      s"more than $MaxOversized oversized bucket keys at maxBucket=$maxBucket " +
+        "— raise maxBucket or pre-filter degenerate boilerplate")
+    val dropped = oversized.iterator.map { r =>
+      val b = r.getLong(r.length - 1); b * (b - 1) / 2
+    }.sum
+    val osSchema = banded.select(kc: _*).schema
+    val osRows = new java.util.ArrayList[org.apache.spark.sql.Row](oversized.length)
+    oversized.foreach(r =>
+      osRows.add(org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))))
+    val osLocal = banded.sparkSession.createDataFrame(osRows, osSchema)
+    val buckets = banded
+      .join(broadcast(osLocal), keys, "left_anti")
+      .groupBy(kc: _*)
+      .agg(collect_list(member).as("members"))
+      .where(size(col("members")) >= 2)
+    (buckets, dropped)
+  }
 
   /** 64-bit SimHash over word unigram hashes. */
   def simhash(text: String): Long = {
@@ -364,8 +394,12 @@ object TextOps {
                       maxBucket: Int = 64,
                       auditDropped: Boolean = false): DataFrame = {
     val banded = simhashBanded(df, maxHamming)
-    val pairs = boundedBuckets(banded, Seq("key"),
-      struct(col("doc_id"), col("sim")), maxBucket)
+    val (buckets, dropped) =
+      if (auditDropped) boundedBucketsAudited(banded, Seq("key"),
+        struct(col("doc_id"), col("sim")), maxBucket)
+      else (boundedBuckets(banded, Seq("key"),
+        struct(col("doc_id"), col("sim")), maxBucket), 0L)
+    val pairs = buckets
       .select(explode(expr(
         """flatten(transform(members, (m, i) ->
           |  transform(slice(members, i + 2, size(members)), n ->
@@ -375,7 +409,7 @@ object TextOps {
       .select("p.doc_a", "p.doc_b", "p.hamming")
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
-    if (auditDropped) withDroppedAudit(pairs, banded, Seq("key"), maxBucket)
+    if (auditDropped) pairs.withColumn("dropped_pairs", lit(dropped))
     else pairs
   }
 

@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Asserts the BENCH.md headline table matches the committed
+BENCH_LOCAL.json, so the narrative docs cannot silently go stale
+(round-3 verdict item 5: BENCH.md still described round 2)."""
+import json, re, sys, pathlib
+
+root = pathlib.Path(__file__).resolve().parent.parent
+d = json.load(open(root / "BENCH_LOCAL.json"))
+md = open(root / "BENCH.md").read()
+
+checks = [
+    (r"\| local\[2\] \(N\) \| ([\d.]+) MTok/s", "encode_mtok_s_local2"),
+    (r"\| local\[8\] \(4N\) \| ([\d.]+) MTok/s", "encode_mtok_s_local8"),
+    (r"\| local\[24\] \(box peak\) \| ([\d.]+) MTok/s", "encode_mtok_s_local24"),
+    (r"min-based\) \| ([\d.]+) / [\d.]+ \| `scaling_efficiency`", "scaling_efficiency"),
+    (r"min-based\) \| [\d.]+ / ([\d.]+) \| `scaling_efficiency`", "scaling_efficiency_minbased"),
+    (r"\| Cluster \(2 workers\) \| ([\d.]+) MTok/s", "encode_mtok_s_cluster2"),
+    (r"\| Cluster \(8 workers\) \| ([\d.]+) MTok/s", "encode_mtok_s_cluster8"),
+    (r"\| \*\*([\d.]+)\*\* / [\d.]+ \| `scaling_efficiency_local_cluster`",
+     "scaling_efficiency_local_cluster"),
+    (r"\| \*\*[\d.]+\*\* / ([\d.]+) \| `scaling_efficiency_local_cluster`",
+     "scaling_efficiency_local_cluster_minbased"),
+    (r"\| Decode \| ([\d.]+) MTok/s", "decode_mtok_s_local24"),
+    (r"\| Recompress \(policy migration, NO exchange\) \| ([\d.]+) MTok/s",
+     "recompress_mtok_s_local24"),
+    (r"\| Partition work balance \(tokens max/avg\) \| ([\d.]+)",
+     "part_tokens_max_over_avg"),
+    (r"\| One-time partition-plan cost \| ([\d.]+) s", "plan_sec"),
+    (r"\| Compression ratio \(raw / encoded\) \| ([\d.]+)×", "compression_ratio"),
+    (r"\| Shared-dictionary leg .* \*\*([\d.]+)× vs [\d.]+× without\*\*",
+     "compression_ratio_zdict"),
+    (r"\| Shared-dictionary leg .* \*\*[\d.]+× vs ([\d.]+)× without\*\*",
+     "compression_ratio_zdict_off"),
+]
+bad = []
+for pat, key in checks:
+    m = re.search(pat, md)
+    if not m:
+        bad.append(f"pattern not found in BENCH.md: {pat}")
+    elif abs(float(m.group(1)) - float(d[key])) > 1e-9:
+        bad.append(f"{key}: BENCH.md says {m.group(1)}, BENCH_LOCAL.json says {d[key]}")
+if bad:
+    print("STALE BENCH.md:\n  " + "\n  ".join(bad)); sys.exit(1)
+print(f"BENCH.md matches BENCH_LOCAL.json ({len(checks)} fields)")
