@@ -45,6 +45,9 @@ object PlanCheck {
     // 5) minhash pairs (single shuffle on band buckets)
     val d = s.read.parquet(s"$dir/documents.parquet")
     show("dd_minhash")(TextOps.minhashDupPairs(d))
+    // 5b) audited variant: same shape, gate side localized; with no
+    // oversized keys the anti-join is optimized away entirely
+    show("dd_minhash audited")(TextOps.minhashDupPairs(d, auditDropped = true))
 
     // 6) IVF search (corpus scanned once, probe side broadcast)
     show("ann_ivf")(SimSearch.ivfTopK(e, e.limit(4), k = 3, kCells = 4, nprobe = 2))

@@ -46,6 +46,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!lsh.contains("Window") && lsh.contains("LeftAnti"), lsh)
   }
 
+  test("audited gate: LocalRelation anti-join side, no third pass, no cross join") {
+    // the audit must be FREE relative to the unaudited gate: the oversized
+    // keys come back WITH sizes from the one count aggregation (collected,
+    // bounded by rows/maxBucket), the dropped mass is summed driver-side,
+    // and the anti-join side is a LocalTableScan — NOT a recomputed
+    // aggregate subtree, and NOT the old crossJoin(broadcast(statsRow))
+    // healthy data, no oversized keys: the localized gate side is an
+    // EMPTY LocalRelation, so Catalyst's empty-relation propagation
+    // removes the anti-join entirely — the audited gate costs literally
+    // nothing on unskewed inputs (the lazy variant keeps a runtime
+    // broadcast join against a near-empty aggregate side)
+    val healthy = planOf(TextOps.minhashDupPairs(docsDf, auditDropped = true))
+    assert(!healthy.contains("Window"), healthy)
+    assert(!healthy.contains("Join"),
+      s"empty gate side should optimize the anti-join away:\n$healthy")
+    // skewed data, oversized keys present: gate must survive as a
+    // broadcast LeftAnti against the localized key set
+    val plan = planOf(TextOps.minhashDupPairs(docsDf, maxBucket = 2,
+      auditDropped = true))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("LocalTableScan"),
+      s"audited gate side must be localized:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"audit must not reintroduce a cross join:\n$plan")
+    // exactly one aggregation chain consumes the banded stream in THIS
+    // plan (collect_list group pass, partial+final) plus the
+    // dropDuplicates pair dedup (partial+final); the count pass already
+    // ran eagerly and its result is localized. A recomputed count subtree
+    // would add two more aggregate nodes.
+    val aggNodes = "HashAggregate".r.findAllIn(plan).length
+    assert(aggNodes <= 4,
+      s"audited plan re-aggregates the banded stream ($aggNodes agg nodes):\n$plan")
+    TextOps.SigCache.clear()
+  }
+
   test("boundedBuckets count pass reuses the persisted signature stage") {
     val banded = TextOps.minhashBanded(docsDf, k = 64, bands = 16)
     val gated = TextOps.boundedBuckets(banded, Seq("band", "bucket"),
