@@ -20,6 +20,12 @@ object BenchAB {
       .config("spark.sql.shuffle.partitions", "24")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // tmpfs shuffle, same reason as Bench.shuffleDir: the sandbox root
+      // disk throttles under sustained writeback, which contaminates
+      // exactly the rep-to-rep comparisons this harness exists for
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_ab_shuffle"
+        else s"${sys.props("java.io.tmpdir")}/graft_ab_shuffle")
       .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (1 * 1024 * 1024).toString)
       .getOrCreate()

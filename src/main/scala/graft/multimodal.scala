@@ -147,8 +147,12 @@ object MediaOps {
             def u32(p: Int): Long =
               if (little) (u16(p).toLong) | (u16(p + 2).toLong << 16)
               else (u16(p).toLong << 16) | u16(p + 2).toLong
-            val ifd = t + u32(t + 4).toInt
-            if (ifd + 2 > bytes.length) return 1
+            // offset arithmetic in Long: a corrupt IFD offset like
+            // 0x80000000 would wrap negative through .toInt and index the
+            // array at a negative position instead of falling back upright
+            val ifdL = t.toLong + u32(t + 4)
+            if (ifdL < 0 || ifdL + 2 > bytes.length) return 1
+            val ifd = ifdL.toInt
             val n = u16(ifd)
             var e = 0
             while (e < n) {

@@ -372,10 +372,14 @@ object Bson {
     def document(): Map[String, Any] = fields().toMap
 
     private def fields(): Vector[(String, Any)] = {
-      val total = le(4).toInt
-      val end = pos + total - 5
-      if (total < 5 || end >= b.length)
+      // length arithmetic in Long: a crafted total near Int.MaxValue at
+      // pos>0 would wrap `pos + total` negative and slip past an Int
+      // bounds check (decoding garbage as an empty document — fail-open)
+      val total = le(4)
+      val endL = pos.toLong + total - 5
+      if (total < 5 || endL >= b.length || endL < pos)
         throw new InvalidCodecException(s"bson: bad document length $total at ${pos - 4}")
+      val end = endL.toInt
       val out = Vector.newBuilder[(String, Any)]
       while (pos < end) out += element()
       require(u8() == 0, "bson: document not NUL-terminated")

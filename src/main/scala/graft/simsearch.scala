@@ -239,6 +239,9 @@ object SimSearch {
       .limit(kCells)
       .collect()
       .map(p => normalized(p._2))
+    // empty corpus (or a filter that matched nothing): no seeds, nothing
+    // to train — return empty centroids like the pre-round-4 formulation
+    if (cents.isEmpty) return cents
     val fanIn = 1024
     var it = 0
     while (it < iters) {

@@ -247,10 +247,12 @@ object TextOps {
     *     filtered after the agg.
     *
     * The two passes over `banded` do NOT recompute the expensive
-    * text→signature map: every producer ([[minhashBanded]],
-    * [[simhashBanded]], SimSearch.lshBanded) persists its signature stage,
-    * so pass 1 populates the cache and pass 2 replays cheap codegen
-    * (explode + hash) over it. The oversized set is bounded by
+    * text→signature map: the text producers ([[minhashBanded]],
+    * [[simhashBanded]]) persist their signature stage, so pass 1
+    * populates the cache and pass 2 replays cheap codegen (explode +
+    * hash) over it. (SimSearch.lshBanded deliberately does NOT persist —
+    * its projection is cheap to recompute and its stage would be
+    * corpus-sized with the embedding column.) The oversized set is bounded by
     * rows/maxBucket and in practice near-empty; if an adversarial input
     * ever produced a non-broadcastable number of oversized keys, the
     * BroadcastExchange fails loudly instead of silently stranding a
@@ -336,6 +338,12 @@ object TextOps {
     * side becomes a LocalRelation. Net: an audited operator costs the
     * same two passes over the banded stream as an unaudited one (the
     * naive formulation re-aggregated the stream a third time).
+    *
+    * Caveat: the column rides on the surviving pair rows, so a corpus so
+    * degenerate that EVERY bucket is oversized yields zero rows and no
+    * in-band signal — that case is logged loudly here (dropped > 0 is
+    * known driver-side), and `*BucketStats` remains the row-independent
+    * accounting surface.
     */
   private[graft] def boundedBucketsAudited(
       banded: DataFrame, keys: Seq[String], member: Column, maxBucket: Int
@@ -351,6 +359,12 @@ object TextOps {
     val dropped = oversized.iterator.map { r =>
       val b = r.getLong(r.length - 1); b * (b - 1) / 2
     }.sum
+    if (dropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bucket cap maxBucket=$maxBucket dropped $dropped candidate pairs " +
+          s"across ${oversized.length} oversized keys — if the operator " +
+          "returns zero rows, this audit is only visible here and in " +
+          "*BucketStats")
     val osSchema = banded.select(kc: _*).schema
     val osRows = new java.util.ArrayList[org.apache.spark.sql.Row](oversized.length)
     oversized.foreach(r =>

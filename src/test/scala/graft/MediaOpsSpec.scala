@@ -240,4 +240,21 @@ class MediaOpsSpec extends AnyFunSuite {
         else assert(r.getInt(2) == w && r.getInt(3) == h)
       }
   }
+
+  test("EXIF orientation: corrupt IFD offset falls back upright, never indexes negative") {
+    val jpeg = ImageCodec.synthJpeg(3L)
+    def corruptOffset(off: Long): Array[Byte] = {
+      val tiff = Array[Byte]('I', 'I', 0x2A, 0,
+        (off & 0xff).toByte, ((off >> 8) & 0xff).toByte,
+        ((off >> 16) & 0xff).toByte, ((off >> 24) & 0xff).toByte)
+      val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+      val len = payload.length + 2
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload ++ jpeg.drop(2)
+    }
+    // 0x80000000 wraps negative through .toInt; 0xFFFFFFF0 lands far past
+    // the buffer — both must fall back to upright, not throw
+    assert(MediaOps.Exif.orientation(corruptOffset(0x80000000L)) == 1)
+    assert(MediaOps.Exif.orientation(corruptOffset(0xFFFFFFF0L)) == 1)
+  }
 }

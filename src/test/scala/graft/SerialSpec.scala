@@ -245,4 +245,21 @@ class SerialSpec extends AnyFunSuite {
         intercept[InvalidCodecException](Json5.parse(bad))
       }
   }
+
+  test("bson nested-document length near Int.MaxValue fails closed (no Int wrap)") {
+    // the EMPTY nested map is the vector that proved fail-OPEN pre-fix:
+    // its next byte is the 0x00 terminator, so once `pos + total` wrapped
+    // negative in Int arithmetic the body loop was skipped, the NUL check
+    // passed, and the crafted document DECODED successfully. (A non-empty
+    // nested doc would have tripped the NUL check by accident.)
+    def corrupt(m: Map[String, Any]): Array[Byte] = {
+      // nested document length sits after total(4) + type(1) + key "n"+NUL(2)
+      val b = Bson.encode(m)
+      b(7) = 0xFF.toByte; b(8) = 0xFF.toByte
+      b(9) = 0xFF.toByte; b(10) = 0x7F.toByte
+      b
+    }
+    intercept[InvalidCodecException](Bson.decode(corrupt(Map("n" -> Map.empty[String, Any]))))
+    intercept[InvalidCodecException](Bson.decode(corrupt(Map("n" -> Map("a" -> 1L)))))
+  }
 }

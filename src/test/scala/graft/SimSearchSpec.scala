@@ -152,4 +152,10 @@ class SimSearchSpec extends AnyFunSuite {
     val old = SimSearch.IvfIndex.load(spark, table, Some(v0)).get
     assert(old.zip(trained).forall { case (a, b) => a.sameElements(b) })
   }
+
+  test("empty corpus: ivfCentroids returns no centroids, ivfTopK no rows") {
+    val empty = vecs(Seq.empty)
+    assert(SimSearch.ivfCentroids(empty, kCells = 4, iters = 2).isEmpty)
+    assert(SimSearch.ivfTopK(empty, empty, k = 3, kCells = 4).count() == 0L)
+  }
 }

@@ -37,6 +37,9 @@ for pat, key in checks:
     m = re.search(pat, md)
     if not m:
         bad.append(f"pattern not found in BENCH.md: {pat}")
+    elif key not in d:
+        bad.append(f"{key}: in BENCH.md but missing from BENCH_LOCAL.json "
+                   "(cluster section skipped?)")
     elif abs(float(m.group(1)) - float(d[key])) > 1e-9:
         bad.append(f"{key}: BENCH.md says {m.group(1)}, BENCH_LOCAL.json says {d[key]}")
 if bad:
