@@ -160,6 +160,29 @@ object Bench {
         runs.minBy(_._1)
       } finally stop(s)
     }
+    // Convergence-based reps (both legs, same policy): rep until the two
+    // fastest agree within 5% (>= minReps, <= maxReps). Box noise is
+    // ONE-SIDED — a co-tenant window only ever ADDS time — so a leg whose
+    // reps disagree hasn't yet shown its floor, and granting IT extra reps
+    // corrects the disadvantage rather than flattering a leg (the fixed
+    // equal-reps design protected against unequal-rep min bias, but let a
+    // single load window own a whole leg and skew that round's ratio).
+    def atCoresConverged(cores: Int, minReps: Int, maxReps: Int)
+        : (Double, Long, Long, Long, Map[String, Long]) = {
+      val s = session(cores)
+      try {
+        val runs = scala.collection.mutable.ArrayBuffer
+          .empty[(Double, Long, Long, Long, Map[String, Long])]
+        var go = true
+        while (go) {
+          runs += encodeRun(s, fixturePath, opts, plan)
+          val sorted = runs.map(_._1).sorted
+          go = runs.length < minReps ||
+            (runs.length < maxReps && sorted(1) / sorted(0) > 1.05)
+        }
+        runs.minBy(_._1)
+      } finally stop(s)
+    }
     // JIT + page-cache warmup at every level (shared JVM => shared JIT;
     // C2 needs several full passes), discarded
     atCores(24, 2); atCores(8, 2); atCores(2, 1)
@@ -184,8 +207,11 @@ object Bench {
     while (effSamples.length < 5 && localRound < 8) {
       localRound += 1
       val (r2, r8) =
-        if (localRound % 2 == 1) { val a = atCores(2, 2); val b = atCores(8, 2); (a, b) }
-        else { val b = atCores(8, 2); val a = atCores(2, 2); (a, b) }
+        if (localRound % 2 == 1) {
+          val a = atCoresConverged(2, 2, 4); val b = atCoresConverged(8, 2, 4); (a, b)
+        } else {
+          val b = atCoresConverged(8, 2, 4); val a = atCoresConverged(2, 2, 4); (a, b)
+        }
       val eff = (r8._2 / r8._1) / (4.0 * (r2._2 / r2._1))
       // gate [0.5, 1.3]: quiet-box samples run 0.74-1.0; a ratio below
       // 0.5 means a co-tenant load window swallowed every rep of ONE leg
@@ -324,12 +350,14 @@ object Bench {
     }
     def clusterLeg(workers: Int): Option[(Double, Long)] = {
       val javaBin = s"${System.getProperty("java.home")}/bin/java"
-      // EQUAL reps per leg: each leg reports min-of-reps, and
-      // E[min of n] falls with n — unequal rep counts would bias every
-      // round's ratio the same direction (flattering it, if the fast leg
-      // got more), which no median can remove. Spike-hit rounds are
-      // handled by the gate + retry instead.
-      val reps = "3"
+      // SAME convergence policy per leg (min 3 reps, max 5, stop when the
+      // two fastest agree within 5%): box noise only ADDS time, so extra
+      // reps go to whichever leg a load window hit — correcting that
+      // round's ratio instead of letting one slow leg own it. (The old
+      // fixed-equal-reps design guarded against unequal-rep min bias, but
+      // round medians swung 0.71-0.88 across otherwise identical runs
+      // because a single window could inflate all 3 reps of one leg.)
+      val reps = "5"
       val pb = new ProcessBuilder(javaBin, "-Xmx4g",
         s"-Dspark.local.dir=$shuffleDir", "-cp",
         System.getProperty("java.class.path"), "graft.BenchCluster",

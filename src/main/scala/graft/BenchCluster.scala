@@ -10,13 +10,13 @@ import org.apache.spark.sql.{SparkSession, functions => F}
   * Launched as a child JVM (with SPARK_HOME set) because executor
   * processes are forked via `$SPARK_HOME/bin/spark-class`.
   *
-  * args: fixtureParquetPath numWorkers reps
+  * args: fixtureParquetPath numWorkers maxReps
   */
 object BenchCluster {
   def main(args: Array[String]): Unit = {
     val fixturePath = args(0)
     val workers = args(1).toInt
-    val reps = args(2).toInt
+    val maxReps = args(2).toInt
     val memMb = 3072
     val s = SparkSession.builder()
       .master(s"local-cluster[$workers,1,$memMb]")
@@ -64,7 +64,18 @@ object BenchCluster {
       // parent-chosen job size (>= 400M tokens) one full pass pushes the
       // encode kernel far past C2 thresholds on every executor
       val warm = once()
-      val runs = (1 to reps).map(_ => once())
+      // convergence-based reps (same policy as the parent's local legs):
+      // rep until the two fastest agree within 5% (>= 3, <= maxReps).
+      // Noise is one-sided — extra reps land on the leg a load window hit,
+      // correcting its floor estimate instead of skewing the round ratio.
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      var go = true
+      while (go) {
+        runs += once()
+        val sorted = runs.map(_._1).sorted
+        go = runs.length < 3 ||
+          (runs.length < maxReps && sorted(1) / sorted(0) > 1.05)
+      }
       val best = runs.minBy(_._1)
       // per-rep times on a separate diagnostic line (parent parses only the
       // GRAFT_CLUSTER_RESULT marker): JIT-vs-steady-state visibility

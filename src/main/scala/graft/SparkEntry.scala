@@ -513,13 +513,14 @@ object SparkEntry {
           minJaccard = 0.5, maxBucket = 4096)
         .where(plantedOrDecoy("doc_a", "doc_b", 2000000L, 3000000L))
       val texts = withTextDecoys(docsWithNearDups(s, dir))
-      val j = udf((a: String, b: String) => TextOps.ngramJaccard(a, b))
+      GraftFunctions.register(s) // native codegen verify kernel (idempotent)
       cands
         .join(texts.withColumnRenamed("doc_id", "doc_a")
           .withColumnRenamed("text", "text_a"), "doc_a")
         .join(texts.withColumnRenamed("doc_id", "doc_b")
           .withColumnRenamed("text", "text_b"), "doc_b")
-        .where(j(col("text_a"), col("text_b")) >= 0.8)
+        .where(call_function("ngram_jaccard",
+          col("text_a"), col("text_b"), lit(5)) >= 0.8)
         .select(col("doc_a"), col("doc_b"))
         .orderBy("doc_a")
     }),

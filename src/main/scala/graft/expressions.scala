@@ -119,6 +119,9 @@ object TextKernels {
       TextOps.minhashSignature(TextOps.shingleHashes(text.toString), k, seed))
   def simhash64(text: org.apache.spark.unsafe.types.UTF8String): Long =
     TextOps.simhash(text.toString)
+  def ngramJaccard(a: org.apache.spark.unsafe.types.UTF8String,
+                   b: org.apache.spark.unsafe.types.UTF8String, n: Int): Double =
+    TextOps.ngramJaccard(a.toString, b.toString, n)
 }
 
 /** Native minhash signature over a string column: k seeded permutations of
@@ -201,6 +204,39 @@ case class Simhash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native exact n-gram Jaccard over two string columns — the dedup
+  * verification stage that runs on every LSH candidate pair. The former
+  * Scala UDF forced an InternalRow→Row conversion barrier and broke
+  * whole-stage codegen for the join+filter stage it lived in; this is one
+  * kernel call inside generated code. Same kernel arithmetic
+  * (TextOps.ngramJaccard), so verified pairs are bit-identical.
+  */
+case class NgramJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"ngram_jaccard requires (string, string), got " +
+        s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ngram_jaccard"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.ngramJaccard(
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.TextKernels.ngramJaccard($a, $b, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration of engine SQL functions (the enum→dispatch surface of the
   * reference exposed to Spark SQL).
   */
@@ -223,6 +259,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64",
       (exprs: Seq[Expression]) => Simhash64(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_jaccard",
+      (exprs: Seq[Expression]) => NgramJaccard(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nearest_cell",

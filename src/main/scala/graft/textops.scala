@@ -454,16 +454,45 @@ object TextOps {
     bucketStatsOf(simhashBanded(df, maxHamming), Seq("key"), maxBucket)
 
   /** Exact character-n-gram Jaccard similarity for a set of candidate
-    * pairs (verification stage after LSH blocking).
+    * pairs (verification stage after LSH blocking). Same per-gram hashing
+    * as always (xxh64 over the substring's UTF-8 bytes); the set algebra
+    * runs over sorted primitive arrays (merge-count intersection) instead
+    * of boxed `Set[Long]` — identical values, no per-gram allocation. The
+    * codegen surface is the `ngram_jaccard` native expression
+    * (expressions.scala), which calls this kernel.
     */
   def ngramJaccard(a: String, b: String, n: Int = 5): Double = {
-    def grams(s: String): Set[Long] =
-      if (s == null || s.length < n) Set.empty
-      else (0 to s.length - n).map(i =>
-        Checksum.xxh64(s.substring(i, i + n).getBytes(UTF8))).toSet
-    val ga = grams(a); val gb = grams(b)
+    val ga = gramHashesSorted(a, n)
+    val gb = gramHashesSorted(b, n)
     if (ga.isEmpty && gb.isEmpty) 1.0
     else if (ga.isEmpty || gb.isEmpty) 0.0
-    else ga.intersect(gb).size.toDouble / ga.union(gb).size
+    else {
+      var i = 0; var j = 0; var inter = 0
+      while (i < ga.length && j < gb.length) {
+        if (ga(i) == gb(j)) { inter += 1; i += 1; j += 1 }
+        else if (ga(i) < gb(j)) i += 1
+        else j += 1
+      }
+      inter.toDouble / (ga.length + gb.length - inter)
+    }
+  }
+
+  /** Distinct, sorted 64-bit hashes of the string's char n-grams. */
+  private def gramHashesSorted(s: String, n: Int): Array[Long] = {
+    if (s == null || s.length < n) return Array.emptyLongArray
+    val all = new Array[Long](s.length - n + 1)
+    var i = 0
+    while (i + n <= s.length) {
+      all(i) = Checksum.xxh64(s.substring(i, i + n).getBytes(UTF8))
+      i += 1
+    }
+    java.util.Arrays.sort(all)
+    var w = 1
+    i = 1
+    while (i < all.length) {
+      if (all(i) != all(w - 1)) { all(w) = all(i); w += 1 }
+      i += 1
+    }
+    if (w == all.length) all else java.util.Arrays.copyOf(all, w)
   }
 }

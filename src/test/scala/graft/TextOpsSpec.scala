@@ -56,6 +56,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(j1 > j2 && j1 > 0.4)
   }
 
+  test("ngram jaccard: sorted-merge kernel and native expression match the set formula") {
+    // independent reference: the original boxed-Set formulation
+    def ref(a: String, b: String, n: Int = 5): Double = {
+      def grams(s: String): Set[Long] =
+        if (s == null || s.length < n) Set.empty
+        else (0 to s.length - n).map(i => Checksum.xxh64(
+          s.substring(i, i + n).getBytes("UTF-8"))).toSet
+      val ga = grams(a); val gb = grams(b)
+      if (ga.isEmpty && gb.isEmpty) 1.0
+      else if (ga.isEmpty || gb.isEmpty) 0.0
+      else ga.intersect(gb).size.toDouble / ga.union(gb).size
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox leaps over the lazy dog",
+      "aaaaaaaaaa", "abcd", "", "uniécode café text",
+      "astral 😀 plane 😀 chars here",
+      "repeated repeated repeated repeated")
+    for (a <- texts; b <- texts)
+      assert(TextOps.ngramJaccard(a, b) == ref(a, b), s"kernel ($a, $b)")
+    // native expression == scalar kernel on a DataFrame (and the filter
+    // stays inside whole-stage codegen — no UDF barrier)
+    GraftFunctions.register(spark)
+    val pairs = texts.zipWithIndex.flatMap { case (a, i) =>
+      texts.zipWithIndex.map { case (b, j) => (i.toLong * 10 + j, a, b) } }
+    import spark.implicits._
+    val got = pairs.toDF("id", "a", "b")
+      .select(col("id"), call_function("ngram_jaccard", col("a"), col("b"), lit(5)).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pairs.foreach { case (id, a, b) =>
+      assert(got(id) == TextOps.ngramJaccard(a, b), s"expr ($a, $b)") }
+  }
+
   test("fingerprints: deterministic, shift-robust overlap") {
     val t = "the quick brown fox jumps over the lazy dog and keeps running far"
     val f1 = TextOps.fingerprints(t)
