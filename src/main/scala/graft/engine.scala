@@ -146,13 +146,15 @@ class TokenCompressor(val opts: EncodeOptions) extends Serializable {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, udf}
     val o = opts
-    val planB = spark.sparkContext.broadcast(plan)
 
-    // part_id as a column expression (UDF over doc_id only) keeps rows in
-    // Tungsten format through the exchange + sort — token arrays are
-    // deserialized exactly once, in the final mapPartitions
-    val partIdUdf = udf((id: String) => planB.value.partIdOf(id))
-    val withPart = ds.toDF().withColumn("part_id", partIdUdf(col("doc_id")))
+    // part_id as a NATIVE column expression over doc_id only (PartIdOf:
+    // codegen binary search against the plan shipped as a reference
+    // object) keeps rows in Tungsten format through the exchange + sort —
+    // token arrays are deserialized exactly once, in the final
+    // mapPartitions, and the scan→route map stage is one codegen span
+    // (the former Scala UDF allocated a String per row)
+    val withPart = ds.toDF().withColumn("part_id",
+      GraftColumns.of(PartIdOf(GraftColumns.expr(col("doc_id")), new PlanRouting(plan))))
 
     val filtered = onlyParts match {
       case Some(parts) => withPart.where(col("part_id").isin(parts.toSeq: _*))

@@ -180,6 +180,71 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Executor-side routing kernel behind [[PartIdOf]]: the partition plan's
+  * boundary strings pre-decoded to [[org.apache.spark.unsafe.types.UTF8String]]
+  * so the per-row binary search compares Tungsten bytes in place
+  * (`binaryCompare` = unsigned byte order = [[DocIdOrder]] — the one
+  * ordering every boundary comparison in the engine uses). The salted-bucket
+  * branch (rare by construction: only ranges the planner could not split)
+  * pays one byte-copy for the xxh64; the common branch allocates nothing.
+  */
+final class PlanRouting(plan: PartitionPlan) extends Serializable {
+  private val bounds: Array[org.apache.spark.unsafe.types.UTF8String] =
+    plan.boundaries.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+  private val saltOf: Array[Int] = plan.saltOf
+  private val partOffset: Array[Int] = plan.partOffset
+  val numParts: Int = plan.numParts
+
+  def partId(id: org.apache.spark.unsafe.types.UTF8String): Int = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid).binaryCompare(id) < 0) lo = mid + 1 else hi = mid
+    }
+    val k = saltOf(lo)
+    if (k <= 1) partOffset(lo)
+    else {
+      val h = Checksum.xxh64(id.getBytes)
+      partOffset(lo) + (((h % k) + k) % k).toInt
+    }
+  }
+}
+
+/** Native part-id routing over the doc_id column against the broadcast-small
+  * partition plan (shipped as a codegen reference object, like
+  * [[NearestCell]]'s centroid matrix). Replaces the Scala UDF in the encode
+  * pre-exchange stage: the UDF paid a UTF8String→String allocation per row
+  * and a catalyst→scala converter call; this is one generated-code binary
+  * search over in-place bytes, so the scan→route→exchange map stage stays
+  * a single WholeStageCodegen span. Bit-identical to
+  * [[PartitionPlan.partIdOf]] (same byte order, same xxh64 salt law) —
+  * pinned by PlannerSpec.
+  */
+case class PartIdOf(child: Expression, routing: PlanRouting)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"part_id_of requires string, got ${other.simpleString(10)}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "part_id_of"
+
+  override protected def nullSafeEval(input: Any): Any =
+    routing.partId(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftRouting", routing,
+        classOf[PlanRouting].getName)
+      s"${ev.value} = $ref.partId($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PartIdOf =
+    copy(child = newChild)
+}
+
 /** Native 64-bit simhash over word unigram hashes (same kernel as
   * TextOps.simhash — bit-identical signatures).
   */
@@ -235,6 +300,17 @@ case class NgramJaccard(left: Expression, right: Expression, n: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NgramJaccard =
     copy(left = newLeft, right = newRight)
+}
+
+/** Column ⇄ Expression bridge for native expressions whose state is a plan
+  * object (no SQL-literal encoding, so `call_function` does not apply —
+  * contrast [[NearestCell]], whose centroid matrix folds to a literal).
+  */
+object GraftColumns {
+  def of(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  def expr(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
 }
 
 /** Registration of engine SQL functions (the enum→dispatch surface of the

@@ -101,6 +101,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = planOf(TokenCompressor(opts).encodeWithPlan(ds, plan, None).toDF())
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges == 1, s"encode pipeline must shuffle exactly once:\n$p")
+    // the pre-exchange route stage must stay native codegen: part_id is the
+    // PartIdOf expression, not a Scala UDF (which would allocate a String
+    // per row and break the scan→route WholeStageCodegen span)
+    assert(p.contains("part_id_of"), s"native PartIdOf missing:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("),
+      s"Scala UDF reappeared in the encode route stage:\n$p")
   }
 
   test("bruteForceTopK broadcasts the query side; corpus scanned once") {

@@ -48,6 +48,27 @@ class PlannerSpec extends AnyFunSuite {
     assert(p1.partIdOf("a") >= 0)
   }
 
+  test("PlanRouting (native PartIdOf kernel) is bit-identical to partIdOf") {
+    // salted + unsalted buckets, ASCII + supplementary-plane ids: the
+    // codegen kernel (UTF8String.binaryCompare search + xxh64 salt) must
+    // route every id exactly like the driver-side PartitionPlan.partIdOf
+    // (DocIdOrder search + xxh64 over UTF-8 bytes)
+    val sample = (Array.fill(5000)(("dup-key", 1000L)) ++
+      Array.tabulate(500)(i => (f"doc-$i%04d", 50L)) ++
+      Array.tabulate(50)(i => (s"😀-$i", 50L)) // U+1F600, 4-byte UTF-8
+      ).sortBy(_._1)(DocIdOrder)
+    val plan = Planner.fromSample(sample, 8)
+    assert(plan.saltOf.exists(_ > 1), "fixture must exercise a salted bucket")
+    val routing = new PlanRouting(plan)
+    val probes = sample.map(_._1) ++
+      Array("", "a", "zzzz", "dup-kex", "dup-kez", "😀", "�")
+    probes.foreach { id =>
+      assert(routing.partId(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id)) ==
+        plan.partIdOf(id), s"divergence at doc_id '$id'")
+    }
+  }
+
   test("plan JSON round-trips through the manifest") {
     val sample = Array.tabulate(1000)(i => (f"d-$i%05d", (i % 17 + 1).toLong * 10))
     val plan = Planner.fromSample(sample, 8)
