@@ -388,6 +388,7 @@ object Bench {
     }
     val clusterSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val clusterDiscarded = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var clusterLegFailures = 0
     var clusterBest2 = Double.MaxValue
     var clusterBest8 = Double.MaxValue
     var clusterToks = 0L
@@ -410,7 +411,7 @@ object Bench {
             clusterBest8 = math.min(clusterBest8, s8)
             clusterToks = t2
           } else clusterDiscarded += eff
-        case _ => () // child failed; retry within the round budget
+        case _ => clusterLegFailures += 1 // child failed/killed; retry within the round budget
       }
     }
     val clusterEff =
@@ -442,14 +443,16 @@ object Bench {
         f""""scaling_efficiency_local_cluster_minbased":$effCMin%.3f,""" +
         s""""scaling_cluster_samples":${fmtArr(clusterSamples.toSeq)},""" +
         s""""scaling_cluster_discarded":${fmtArr(clusterDiscarded.toSeq)},""" +
+        s""""cluster_leg_failures":$clusterLegFailures,""" +
         f""""encode_mtok_s_cluster2":$thrC2%.1f,"encode_mtok_s_cluster8":$thrC8%.1f,""" +
         s""""cluster_job_tokens":$clusterToks,"""
-      } else if (clusterDiscarded.nonEmpty)
+      } else if (clusterDiscarded.nonEmpty || clusterLegFailures > 0)
         // every completed pair was out-of-gate AND the fallback never got
         // a completed round 8 (child failures): surface the evidence
         // anyway instead of looking like the section never ran
         s""""scaling_efficiency_local_cluster":null,""" +
-        s""""scaling_cluster_discarded":${fmtArr(clusterDiscarded.toSeq)},"""
+        s""""scaling_cluster_discarded":${fmtArr(clusterDiscarded.toSeq)},""" +
+        s""""cluster_leg_failures":$clusterLegFailures,"""
       else ""
     val headline =
       f""""encode_mtok_s_local2":$thr2%.1f,"encode_mtok_s_local8":$thr8%.1f,""" +

@@ -68,13 +68,24 @@ object BenchCluster {
       // rep until the two fastest agree within 5% (>= 3, <= maxReps).
       // Noise is one-sided — extra reps land on the leg a load window hit,
       // correcting its floor estimate instead of skewing the round ratio.
+      // WALL-CLOCK BUDGET on top: under heavy co-tenant load a ~30 s rep
+      // can stretch to minutes; without a budget the convergence loop ran
+      // a leg into the parent's hard kill-timeout, which discarded the
+      // whole round (measured: a leg2 killed at 20 min with its data
+      // unread). Past the budget the leg returns its best-so-far (>= 2
+      // reps) — a weaker floor estimate, visible in the REPS line, beats
+      // a vanished round.
+      val repBudgetSec = sys.props.getOrElse("graft.repBudgetSec", "360").toInt
       val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      val budget0 = System.nanoTime()
       var go = true
       while (go) {
         runs += once()
         val sorted = runs.map(_._1).sorted
-        go = runs.length < 3 ||
-          (runs.length < maxReps && sorted(1) / sorted(0) > 1.05)
+        val spent = (System.nanoTime() - budget0) / 1e9
+        go = (runs.length < 3 ||
+          (runs.length < maxReps && sorted(1) / sorted(0) > 1.05)) &&
+          !(spent > repBudgetSec && runs.length >= 2)
       }
       val best = runs.minBy(_._1)
       // per-rep times on a separate diagnostic line (parent parses only the
