@@ -155,6 +155,7 @@ object SparkEntry {
     "enc_roundtrip_bitpack" -> rt("bitpack"),
     "enc_roundtrip_for" -> rt("for"),
     "enc_roundtrip_rle" -> rt("rle"),
+    "enc_roundtrip_delta" -> rt("delta"),
     "enc_roundtrip_dict" -> rt("dict"),
     "enc_roundtrip_fsst" -> rt("fsst"),
     "enc_tokens_full" -> ((s, dir) => {
@@ -739,6 +740,7 @@ object SparkEntry {
       "enc_roundtrip_bitpack" -> digestOracle,
       "enc_roundtrip_for" -> digestOracle,
       "enc_roundtrip_rle" -> digestOracle,
+      "enc_roundtrip_delta" -> digestOracle,
       "enc_roundtrip_dict" -> digestOracle,
       "enc_roundtrip_fsst" -> digestOracle,
       "enc_strict_bound" -> digestOracle,

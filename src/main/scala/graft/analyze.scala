@@ -22,6 +22,7 @@ object Analyzer {
     var runs = 1
     var i = 0
     var prev = tokens(0)
+    var maxDeltaZz = 0L
     val seen = new IntSet(math.min(n, 1 << 12))
     var distinctExact = true
     while (i < n) {
@@ -29,6 +30,10 @@ object Analyzer {
       if (v < mn) mn = v
       if (v > mx) mx = v
       if (i > 0 && v != prev) runs += 1
+      if (i > 0) {
+        val zz = Bits.zigzag(v - prev) // 32-bit wraparound delta, like Delta's wire law
+        if (zz > maxDeltaZz) maxDeltaZz = zz
+      }
       prev = v
       if (distinctExact) {
         seen.add(v)
@@ -61,7 +66,7 @@ object Analyzer {
       // stride-2 counting saw n/2 positions; scale to full block
       pairGain = math.min((gain * 2L * n / sampleN), n / 2L).toInt
     }
-    BlockStats(n, mn, mx, runs, distinct, distinctExact, pairGain)
+    BlockStats(n, mn, mx, runs, distinct, distinctExact, pairGain, maxDeltaZz)
   }
 
   /** Pick the cheapest applicable codec for a block. Deterministic:

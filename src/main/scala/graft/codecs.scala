@@ -171,6 +171,57 @@ object ForCodec extends TokenCodec {
   }
 }
 
+/** Delta encoding: first value verbatim, then fixed-width bit-packed
+  * zigzag deltas in 32-bit wraparound arithmetic (the same wrap law as
+  * [[ForCodec]], so any Int stream round-trips bit-exact). Layout:
+  * [first:int32 LE][width:u8][packed zigzag(t_i - t_{i-1}) x (n-1)].
+  * Wins on sorted/near-monotonic streams — posting lists, offset columns,
+  * timestamp-like token ids — where the step is tiny but the RANGE spans
+  * the whole space, which defeats FOR (range-width) and bitpack
+  * (magnitude-width). Sequential by construction (prefix dependency), so
+  * no decodeSlice: range reads fall back to full-block decode like rle.
+  */
+object DeltaCodec extends TokenCodec {
+  val id = 6; val name = "delta"
+  def estimate(s: BlockStats): Long =
+    if (s.n == 0) 5L
+    else 5L + packedSize(s.n - 1, bitsNeededLong(s.maxDeltaZz))
+  def encode(tokens: Array[Int]): Array[Byte] = {
+    val n = tokens.length
+    val zz = new Array[Int](math.max(n - 1, 0))
+    var maxZz = 0L
+    var i = 1
+    while (i < n) {
+      val z = zigzag(tokens(i) - tokens(i - 1)) // wraparound delta, unsigned 32-bit zigzag
+      if (z > maxZz) maxZz = z
+      zz(i - 1) = z.toInt
+      i += 1
+    }
+    val w = bitsNeededLong(maxZz)
+    val out = new Array[Byte](5 + packedSize(zz.length, w))
+    writeIntLE(out, 0, if (n == 0) 0 else tokens(0))
+    out(4) = w.toByte
+    pack(zz, 0, zz.length, w, out, 5)
+    out
+  }
+  def decode(bytes: Array[Byte], n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    if (n == 0) return out
+    val w = bytes(4) & 0xff
+    var prev = readIntLE(bytes, 0)
+    out(0) = prev
+    val zz = new Array[Int](n - 1)
+    unpack(bytes, 5, n - 1, w, zz, 0)
+    var i = 1
+    while (i < n) {
+      prev = prev + unzigzag(zz(i - 1).toLong & 0xffffffffL)
+      out(i) = prev
+      i += 1
+    }
+    out
+  }
+}
+
 /** Run-length encoding: [(value zigzag-varint, runLen varint)...] until n
   * tokens are produced. Wins on long constant runs.
   */
@@ -634,7 +685,8 @@ object FsstCodec extends TableCodec {
   */
 object CodecRegistry {
   val all: Seq[TokenCodec] =
-    Seq(PlainCodec, BitPackCodec, ForCodec, RleCodec, DictCodec, FsstCodec)
+    Seq(PlainCodec, BitPackCodec, ForCodec, RleCodec, DictCodec, FsstCodec,
+      DeltaCodec)
 
   private val byIdMap: Map[Int, TokenCodec] = all.map(c => c.id -> c).toMap
   private val byNameMap: Map[String, TokenCodec] = all.map(c => c.name -> c).toMap

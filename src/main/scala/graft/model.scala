@@ -132,7 +132,8 @@ final case class BlockStats(
     runs: Int, // number of value runs (RLE cue)
     distinct: Int, // exact up to distinctCap, else distinctCap+1
     distinctExact: Boolean,
-    pairGain: Int // est. tokens removable by one round of pair-merging
+    pairGain: Int, // est. tokens removable by one round of pair-merging
+    maxDeltaZz: Long = 0L // max zigzag(t[i]-t[i-1]), unsigned 32-bit (Delta cue)
 )
 
 final class InvalidCodecException(msg: String)

@@ -31,6 +31,27 @@ class CostModelSpec extends AnyFunSuite {
     assert(sel == "fsst", sel)
   }
 
+  test("sorted posting-list shape selects delta") {
+    // strictly increasing with small steps over a huge range: range-width
+    // defeats FOR/bitpack, distinct==n defeats dict, runs==n defeats rle —
+    // the step-width cue (maxDeltaZz) is the only one that sees the order
+    val rnd = new scala.util.Random(7)
+    var v = -1000000000
+    val data = Array.fill(50000) { v += 1 + rnd.nextInt(7); v }
+    val st = Analyzer.stats(data)
+    val sel = Analyzer.select(st)
+    assert(sel.name == "delta", sel.name)
+    // and the estimate is exact for delta (fixed-width wire law)
+    assert(DeltaCodec.estimate(st) == DeltaCodec.encode(data).length.toLong)
+  }
+
+  test("delta wraparound: extreme jumps round-trip bit-exact") {
+    val data = Array(Int.MinValue, Int.MaxValue, -1, 1, 0,
+      Int.MaxValue, Int.MinValue, 42)
+    assert(DeltaCodec.decode(DeltaCodec.encode(data), data.length)
+      .sameElements(data))
+  }
+
   test("uniform_full does not pick an expensive loser") {
     val data = blockOf("uniform_full")
     val st = Analyzer.stats(data)
