@@ -359,7 +359,11 @@ object Bench {
       // because a single window could inflate all 3 reps of one leg.)
       val reps = "5"
       val pb = new ProcessBuilder(javaBin, "-Xmx4g",
-        s"-Dspark.local.dir=$shuffleDir", "-cp",
+        s"-Dspark.local.dir=$shuffleDir",
+        // forward the rep-budget knob so tuning it on the parent run
+        // actually reaches the child that reads it
+        s"-Dgraft.repBudgetSec=${sys.props.getOrElse("graft.repBudgetSec", "360")}",
+        "-cp",
         System.getProperty("java.class.path"), "graft.BenchCluster",
         clusterFixture, workers.toString, reps)
       pb.environment().put("SPARK_HOME", "/opt/spark")
@@ -411,7 +415,8 @@ object Bench {
             clusterBest8 = math.min(clusterBest8, s8)
             clusterToks = t2
           } else clusterDiscarded += eff
-        case _ => clusterLegFailures += 1 // child failed/killed; retry within the round budget
+        case (a, b) => // child(ren) failed/killed; retry within the round budget
+          clusterLegFailures += Seq(a, b).count(_.isEmpty)
       }
     }
     val clusterEff =

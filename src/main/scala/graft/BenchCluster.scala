@@ -62,7 +62,11 @@ object BenchCluster {
       }
       // JIT + page-cache warmup in THIS cluster's executor JVMs — at the
       // parent-chosen job size (>= 400M tokens) one full pass pushes the
-      // encode kernel far past C2 thresholds on every executor
+      // encode kernel far past C2 thresholds on every executor. The rep
+      // budget clock starts BEFORE the warmup: on a crushed box a single
+      // pass can take many minutes, and a budget that ignored it could
+      // still run the child into the parent's hard kill-timeout
+      val budget0 = System.nanoTime()
       val warm = once()
       // convergence-based reps (same policy as the parent's local legs):
       // rep until the two fastest agree within 5% (>= 3, <= maxReps).
@@ -72,12 +76,11 @@ object BenchCluster {
       // can stretch to minutes; without a budget the convergence loop ran
       // a leg into the parent's hard kill-timeout, which discarded the
       // whole round (measured: a leg2 killed at 20 min with its data
-      // unread). Past the budget the leg returns its best-so-far (>= 2
-      // reps) — a weaker floor estimate, visible in the REPS line, beats
-      // a vanished round.
+      // unread). Past the budget the leg returns its best-so-far (down to
+      // a single rep when even the warmup blew the budget) — a weaker
+      // floor estimate, visible in the REPS line, beats a vanished round.
       val repBudgetSec = sys.props.getOrElse("graft.repBudgetSec", "360").toInt
       val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
-      val budget0 = System.nanoTime()
       var go = true
       while (go) {
         runs += once()
@@ -85,7 +88,7 @@ object BenchCluster {
         val spent = (System.nanoTime() - budget0) / 1e9
         go = (runs.length < 3 ||
           (runs.length < maxReps && sorted(1) / sorted(0) > 1.05)) &&
-          !(spent > repBudgetSec && runs.length >= 2)
+          spent <= repBudgetSec
       }
       val best = runs.minBy(_._1)
       // per-rep times on a separate diagnostic line (parent parses only the

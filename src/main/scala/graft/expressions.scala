@@ -180,37 +180,6 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
     copy(child = newChild)
 }
 
-/** Executor-side routing kernel behind [[PartIdOf]]: the partition plan's
-  * boundary strings pre-decoded to [[org.apache.spark.unsafe.types.UTF8String]]
-  * so the per-row binary search compares Tungsten bytes in place
-  * (`binaryCompare` = unsigned byte order = [[DocIdOrder]] — the one
-  * ordering every boundary comparison in the engine uses). The salted-bucket
-  * branch (rare by construction: only ranges the planner could not split)
-  * pays one byte-copy for the xxh64; the common branch allocates nothing.
-  */
-final class PlanRouting(plan: PartitionPlan) extends Serializable {
-  private val bounds: Array[org.apache.spark.unsafe.types.UTF8String] =
-    plan.boundaries.map(org.apache.spark.unsafe.types.UTF8String.fromString)
-  private val saltOf: Array[Int] = plan.saltOf
-  private val partOffset: Array[Int] = plan.partOffset
-  val numParts: Int = plan.numParts
-
-  def partId(id: org.apache.spark.unsafe.types.UTF8String): Int = {
-    var lo = 0
-    var hi = bounds.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (bounds(mid).binaryCompare(id) < 0) lo = mid + 1 else hi = mid
-    }
-    val k = saltOf(lo)
-    if (k <= 1) partOffset(lo)
-    else {
-      val h = Checksum.xxh64(id.getBytes)
-      partOffset(lo) + (((h % k) + k) % k).toInt
-    }
-  }
-}
-
 /** Native part-id routing over the doc_id column against the broadcast-small
   * partition plan (shipped as a codegen reference object, like
   * [[NearestCell]]'s centroid matrix). Replaces the Scala UDF in the encode

@@ -50,24 +50,56 @@ final case class PartitionPlan(
 
   def numBuckets: Int = saltOf.length
 
-  def bucketOf(docId: String): Int = {
-    // first index with boundaries(i) >= docId (UTF-8 byte order, matching
-    // the Spark-side comparisons used to build the boundaries)
+  /** The ONE implementation of the routing law lives in [[PlanRouting]]
+    * (the executor-side kernel behind the PartIdOf codegen expression);
+    * these driver-side conveniences delegate through a UTF8String
+    * conversion — rare calls (range-read brackets, tests), so the copy is
+    * irrelevant, and the law cannot fork between driver and executors.
+    */
+  @transient private lazy val routing = new PlanRouting(this)
+
+  def bucketOf(docId: String): Int =
+    routing.bucketOfU(org.apache.spark.unsafe.types.UTF8String.fromString(docId))
+
+  def partIdOf(docId: String): Int =
+    routing.partId(org.apache.spark.unsafe.types.UTF8String.fromString(docId))
+}
+
+/** Executor-side routing kernel behind the PartIdOf codegen expression AND
+  * the single home of the routing law: boundary strings pre-decoded to
+  * [[org.apache.spark.unsafe.types.UTF8String]] so the per-row binary
+  * search compares Tungsten bytes in place (`binaryCompare` = unsigned
+  * byte order = [[DocIdOrder]] — the one ordering every boundary
+  * comparison in the engine uses). The salted-bucket branch (rare by
+  * construction: only ranges the planner could not split) pays one
+  * byte-copy for the xxh64; the common branch allocates nothing.
+  */
+final class PlanRouting(plan: PartitionPlan) extends Serializable {
+  private val bounds: Array[org.apache.spark.unsafe.types.UTF8String] =
+    plan.boundaries.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+  private val saltOf: Array[Int] = plan.saltOf
+  private val partOffset: Array[Int] = plan.partOffset
+  val numParts: Int = plan.numParts
+
+  /** First index with boundaries(i) >= id (unsigned byte order); bucket
+    * index range [0, boundaries.length].
+    */
+  def bucketOfU(id: org.apache.spark.unsafe.types.UTF8String): Int = {
     var lo = 0
-    var hi = boundaries.length // bucket index range [0, B-1], B = len+1
+    var hi = bounds.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (DocIdOrder.compare(boundaries(mid), docId) < 0) lo = mid + 1 else hi = mid
+      if (bounds(mid).binaryCompare(id) < 0) lo = mid + 1 else hi = mid
     }
     lo
   }
 
-  def partIdOf(docId: String): Int = {
-    val b = bucketOf(docId)
+  def partId(id: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val b = bucketOfU(id)
     val k = saltOf(b)
     if (k <= 1) partOffset(b)
     else {
-      val h = Checksum.xxh64(docId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = Checksum.xxh64(id.getBytes)
       partOffset(b) + (((h % k) + k) % k).toInt
     }
   }

@@ -48,11 +48,28 @@ class PlannerSpec extends AnyFunSuite {
     assert(p1.partIdOf("a") >= 0)
   }
 
-  test("PlanRouting (native PartIdOf kernel) is bit-identical to partIdOf") {
-    // salted + unsalted buckets, ASCII + supplementary-plane ids: the
-    // codegen kernel (UTF8String.binaryCompare search + xxh64 salt) must
-    // route every id exactly like the driver-side PartitionPlan.partIdOf
-    // (DocIdOrder search + xxh64 over UTF-8 bytes)
+  test("PlanRouting (the ONE routing-law impl) matches an independent reference") {
+    // plan.partIdOf delegates to PlanRouting (the codegen kernel), so the
+    // parity oracle here is a from-scratch inline statement of the law:
+    // lower-bound search in DocIdOrder (UTF-8 byte order) + xxh64-mod
+    // salt over the id's UTF-8 bytes. Covers salted + unsalted buckets,
+    // ASCII + supplementary-plane ids.
+    def referencePartId(p: PartitionPlan, docId: String): Int = {
+      var lo = 0
+      var hi = p.boundaries.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (DocIdOrder.compare(p.boundaries(mid), docId) < 0) lo = mid + 1
+        else hi = mid
+      }
+      val k = p.saltOf(lo)
+      if (k <= 1) p.partOffset(lo)
+      else {
+        val h = Checksum.xxh64(
+          docId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        p.partOffset(lo) + (((h % k) + k) % k).toInt
+      }
+    }
     val sample = (Array.fill(5000)(("dup-key", 1000L)) ++
       Array.tabulate(500)(i => (f"doc-$i%04d", 50L)) ++
       Array.tabulate(50)(i => (s"😀-$i", 50L)) // U+1F600, 4-byte UTF-8
@@ -63,9 +80,11 @@ class PlannerSpec extends AnyFunSuite {
     val probes = sample.map(_._1) ++
       Array("", "a", "zzzz", "dup-kex", "dup-kez", "😀", "�")
     probes.foreach { id =>
+      val expected = referencePartId(plan, id)
       assert(routing.partId(
-        org.apache.spark.unsafe.types.UTF8String.fromString(id)) ==
-        plan.partIdOf(id), s"divergence at doc_id '$id'")
+        org.apache.spark.unsafe.types.UTF8String.fromString(id)) == expected,
+        s"kernel divergence at doc_id '$id'")
+      assert(plan.partIdOf(id) == expected, s"delegate divergence at '$id'")
     }
   }
 
