@@ -81,7 +81,12 @@ object BenchCluster {
       // floor estimate, visible in the REPS line, beats a vanished round.
       val repBudgetSec = sys.props.getOrElse("graft.repBudgetSec", "360").toInt
       val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
-      var go = true
+      // if the WARMUP alone blew the budget (badly loaded box), don't run
+      // even one measured rep — reuse the warmup sample as the single rep
+      // so the child still emits a result before the parent's hard kill
+      // (a JIT-cold floor estimate beats a vanished round)
+      if ((System.nanoTime() - budget0) / 1e9 > repBudgetSec) runs += warm
+      var go = runs.isEmpty
       while (go) {
         runs += once()
         val sorted = runs.map(_._1).sorted

@@ -178,8 +178,9 @@ object ForCodec extends TokenCodec {
   * Wins on sorted/near-monotonic streams — posting lists, offset columns,
   * timestamp-like token ids — where the step is tiny but the RANGE spans
   * the whole space, which defeats FOR (range-width) and bitpack
-  * (magnitude-width). Sequential by construction (prefix dependency), so
-  * no decodeSlice: range reads fall back to full-block decode like rle.
+  * (magnitude-width). The prefix dependency makes decode sequential, but a
+  * slice still skips the TAIL: decodeSlice scans deltas only up to `until`
+  * and materializes only [from, until).
   */
 object DeltaCodec extends TokenCodec {
   val id = 6; val name = "delta"
@@ -220,6 +221,30 @@ object DeltaCodec extends TokenCodec {
     }
     out
   }
+
+  /** Prefix-bounded slice: the running sum needs every delta BEFORE `until`
+    * (O(until) scan — unavoidable for a prefix code), but the tail is never
+    * unpacked and only [from, until) is materialized. A point lookup early
+    * in a large block therefore touches O(position), not O(blockTokens).
+    */
+  override def decodeSlice(bytes: Array[Byte], n: Int, from: Int, until: Int): Option[Array[Int]] = {
+    val out = new Array[Int](until - from)
+    if (until - from == 0) return Some(out)
+    val w = bytes(4) & 0xff
+    var prev = readIntLE(bytes, 0)
+    if (from == 0) out(0) = prev
+    if (until > 1) {
+      val zz = new Array[Int](until - 1)
+      unpack(bytes, 5, until - 1, w, zz, 0)
+      var i = 1
+      while (i < until) {
+        prev = prev + unzigzag(zz(i - 1).toLong & 0xffffffffL)
+        if (i >= from) out(i - from) = prev
+        i += 1
+      }
+    }
+    Some(out)
+  }
 }
 
 /** Run-length encoding: [(value zigzag-varint, runLen varint)...] until n
@@ -255,6 +280,30 @@ object RleCodec extends TokenCodec {
       i += run
     }
     out
+  }
+
+  /** Run headers allow skip-ahead: walk (value, runLen) pairs, fill only
+    * the overlap with [from, until). Cost is O(runs up to `until`) varint
+    * reads and O(slice) writes — rle is the most-selected codec in the
+    * bench mix, so point lookups on rle blocks no longer pay a full-block
+    * token materialization.
+    */
+  override def decodeSlice(bytes: Array[Byte], n: Int, from: Int, until: Int): Option[Array[Int]] = {
+    val out = new Array[Int](until - from)
+    val cur = new Cursor(0)
+    var i = 0
+    while (i < until) {
+      val v = unzigzag(readVarint(bytes, cur))
+      val run = readVarint(bytes, cur).toInt
+      val end = i + run
+      if (end > from) {
+        val s = math.max(i, from)
+        val e = math.min(end, until)
+        java.util.Arrays.fill(out, s - from, e - from, v)
+      }
+      i = end
+    }
+    Some(out)
   }
 }
 

@@ -152,7 +152,11 @@ class TokenCompressor(val opts: EncodeOptions) extends Serializable {
     // object) keeps rows in Tungsten format through the exchange + sort —
     // token arrays are deserialized exactly once, in the final
     // mapPartitions, and the scan→route map stage is one codegen span
-    // (the former Scala UDF allocated a String per row)
+    // (the former Scala UDF allocated a String per row).
+    // doc_id is the routing key and non-null by contract; PartIdOf is
+    // null-INtolerant (nullable=false, null child forwarded into the
+    // kernel, which throws with a diagnosable message) so a null doc_id
+    // fails at the scan stage, not after the exchange in row decode.
     val withPart = ds.toDF().withColumn("part_id",
       GraftColumns.of(PartIdOf(GraftColumns.expr(col("doc_id")), new PlanRouting(plan))))
 
@@ -442,12 +446,14 @@ object BlockEncoder {
   }
 
   /** Range-pushdown decode: only rows with doc_id in [fromDoc, toDoc]
-    * (UTF-8 byte order) leave this block, and for fixed-stride codecs
-    * (plain/bitpack/for/dict) only THEIR tokens are ever decoded — a point
-    * lookup touches O(result) tokens, not O(blockTokens). Sequential
-    * codecs (rle/fsst) fall back to full decode + row slice. Checksum
-    * verification requires the full token stream, so sliced decodes skip
-    * it (the Parquet page CRC still guards the payload bytes at rest).
+    * (UTF-8 byte order) leave this block, and for sliceable codecs only
+    * the needed tokens are materialized — fixed-stride codecs
+    * (plain/bitpack/for/dict) touch O(result) tokens, rle skips ahead over
+    * run headers (O(runs)), delta scans its prefix but never the tail.
+    * Only fsst (symbol expansion has no positional index) falls back to
+    * full decode + row slice. Checksum verification requires the full
+    * token stream, so sliced decodes skip it (the Parquet page CRC still
+    * guards the payload bytes at rest).
     */
   def decodeBlockRange(b: EncodedBlock, fromDoc: String, toDoc: String): Iterator[TokenRow] = {
     // doc_ids are sorted within a block (rows arrive part_id,doc_id-sorted)

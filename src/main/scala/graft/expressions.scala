@@ -24,7 +24,7 @@ case class CanonicalXxh64(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"canonical_xxh64 requires array<int>, got ${other.simpleString(10)}")
+      s"canonical_xxh64 requires array<int>, got ${other.catalogString}")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "canonical_xxh64"
@@ -94,7 +94,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"cosine_sim requires (array<float>, array<float>), got " +
-        s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+        s"(${l.catalogString}, ${r.catalogString})")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
@@ -135,7 +135,7 @@ case class MinhashSig(child: Expression, k: Int, seed: Long)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sig requires string, got ${other.simpleString(10)}")
+      s"minhash_sig requires string, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -162,7 +162,7 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"nearest_cell requires array<float>, got ${other.simpleString(10)}")
+      s"nearest_cell requires array<float>, got ${other.catalogString}")
   }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_cell"
@@ -195,20 +195,36 @@ case class PartIdOf(child: Expression, routing: PlanRouting)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"part_id_of requires string, got ${other.simpleString(10)}")
+      s"part_id_of requires string, got ${other.catalogString}")
   }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "part_id_of"
 
-  override protected def nullSafeEval(input: Any): Any =
-    routing.partId(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  /** NOT null-tolerant: doc_id is the routing key and non-null by contract,
+    * so a null child is forwarded INTO the kernel, which throws with a
+    * diagnosable message — the default UnaryExpression null-propagation
+    * would instead emit a null part_id that only fails after the exchange,
+    * in the routed rows' .as[] decode (advice r4).
+    */
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val ref = ctx.addReferenceObj("graftRouting", routing,
-        classOf[PlanRouting].getName)
-      s"${ev.value} = $ref.partId($c);"
-    })
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    routing.partId(child.eval(input)
+      .asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("graftRouting", routing,
+      classOf[PlanRouting].getName)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        int ${ev.value} = $ref.partId(
+          ${childGen.isNull} ? null : ${childGen.value});
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): PartIdOf =
     copy(child = newChild)
@@ -221,7 +237,7 @@ case class Simhash64(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"simhash64 requires string, got ${other.simpleString(10)}")
+      s"simhash64 requires string, got ${other.catalogString}")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -252,7 +268,7 @@ case class NgramJaccard(left: Expression, right: Expression, n: Int)
           org.apache.spark.sql.types.StringType) => TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"ngram_jaccard requires (string, string), got " +
-        s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+        s"(${l.catalogString}, ${r.catalogString})")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "ngram_jaccard"

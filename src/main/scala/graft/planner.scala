@@ -95,6 +95,13 @@ final class PlanRouting(plan: PartitionPlan) extends Serializable {
   }
 
   def partId(id: org.apache.spark.unsafe.types.UTF8String): Int = {
+    // doc_id is the routing key and non-null by contract: fail HERE, with a
+    // diagnosable message, instead of letting a null part_id flow through
+    // the exchange and die later in the routed rows' .as[] decode
+    if (id == null)
+      throw new NullPointerException(
+        "doc_id is the encode routing key and must be non-null " +
+          "(filter or repair null doc_id rows before TokenCompressor.encode)")
     val b = bucketOfU(id)
     val k = saltOf(b)
     if (k <= 1) partOffset(b)
@@ -102,6 +109,30 @@ final class PlanRouting(plan: PartitionPlan) extends Serializable {
       val h = Checksum.xxh64(id.getBytes)
       partOffset(b) + (((h % k) + k) % k).toInt
     }
+  }
+
+  /** Equality on the underlying plan content (boundaries/saltOf/partOffset/
+    * numParts), not object identity: [[PartIdOf]] is a case class whose
+    * routing field participates in expression equality, so two routing
+    * expressions built from the same plan must compare equal for Catalyst
+    * subexpression elimination / exchange reuse to apply when the encode
+    * pipeline is composed more than once in one query.
+    */
+  override def equals(o: Any): Boolean = o match {
+    case r: PlanRouting =>
+      numParts == r.numParts &&
+        java.util.Arrays.equals(saltOf, r.saltOf) &&
+        java.util.Arrays.equals(partOffset, r.partOffset) &&
+        bounds.length == r.bounds.length &&
+        bounds.indices.forall(i => bounds(i) == r.bounds(i))
+    case _ => false
+  }
+  override def hashCode: Int = {
+    var h = numParts
+    h = h * 31 + java.util.Arrays.hashCode(saltOf)
+    h = h * 31 + java.util.Arrays.hashCode(partOffset)
+    bounds.foreach(b => h = h * 31 + b.hashCode)
+    h
   }
 }
 

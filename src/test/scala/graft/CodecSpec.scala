@@ -93,17 +93,28 @@ class CodecSpec extends AnyFunSuite {
     assert(enc.length < data.length * 4 / 8)
   }
 
-  test("decodeSlice == full decode slice for every fixed-stride codec and width") {
+  test("decodeSlice == full decode slice for every sliceable codec and width") {
     val rng = new scala.util.Random(41)
     val shapes: Seq[Array[Int]] = Seq(
       Array.fill(5000)(rng.nextInt(2)),            // 1-bit
       Array.fill(5000)(rng.nextInt(100)),          // 7-bit
       Array.fill(5000)(rng.nextInt(1 << 20)),      // 20-bit
-      Array.fill(5000)(rng.nextInt()),             // full range (plain/for)
+      Array.fill(5000)(rng.nextInt()),             // full range (plain/for/delta wrap)
       Array.fill(5000)(rng.nextInt(300) * 11),     // dict-friendly
-      Array.tabulate(5000)(i => i % 977)
+      Array.tabulate(5000)(i => i % 977),          // runs of length 1, sawtooth
+      {                                            // rle-friendly: long runs
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        while (out.length < 5000) {
+          val v = rng.nextInt(50)
+          (0 until math.min(1 + rng.nextInt(200), 5000 - out.length))
+            .foreach(_ => out += v)
+        }
+        out.toArray
+      },
+      Array.tabulate(5000)(i => i * 7 + rng.nextInt(5)) // near-monotonic (delta)
     )
-    val codecs: Seq[TokenCodec] = Seq(PlainCodec, BitPackCodec, ForCodec, DictCodec)
+    val codecs: Seq[TokenCodec] =
+      Seq(PlainCodec, BitPackCodec, ForCodec, DictCodec, RleCodec, DeltaCodec)
     for (tokens <- shapes; c <- codecs if c.applicable(Analyzer.stats(tokens))) {
       if (c != BitPackCodec || tokens.forall(_ >= 0)) {
         val bytes = c.encode(tokens)
@@ -118,6 +129,9 @@ class CodecSpec extends AnyFunSuite {
         }
         // boundary slices
         assert(c.decodeSlice(bytes, tokens.length, 0, tokens.length).get.toSeq == full.toSeq)
+        assert(c.decodeSlice(bytes, tokens.length, 0, 1).get.toSeq == full.take(1).toSeq)
+        assert(c.decodeSlice(bytes, tokens.length,
+          tokens.length - 1, tokens.length).get.toSeq == full.takeRight(1).toSeq)
       }
     }
     // dict split path slices too
@@ -127,7 +141,9 @@ class CodecSpec extends AnyFunSuite {
     val body = DictCodec.encodeWith(dict, toks).get
     val sl = DictCodec.decodeWithSlice(tb, body, toks.length, 100, 300)
     assert(sl.get.toSeq == toks.slice(100, 300).toSeq)
-    // sequential codecs decline
-    assert(RleCodec.decodeSlice(RleCodec.encode(toks), toks.length, 0, 10).isEmpty)
+    // fsst (symbol expansion, no positional index) is the one decliner
+    val ft = FsstCodec.train(toks)
+    assert(FsstCodec.decodeWithSlice(FsstCodec.tableBytes(ft),
+      FsstCodec.encodeWith(ft, toks).get, toks.length, 0, 10).isEmpty)
   }
 }

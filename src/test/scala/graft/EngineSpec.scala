@@ -166,4 +166,28 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(b => (b.part_id, b.block_id, b.checksum)).toSet
     assert(a == b)
   }
+
+  test("null doc_id fails FAST at the routing expression, not in row decode") {
+    // doc_id is the routing key and non-null by contract; the
+    // AssertNotNull guard in encodeWithPlan must surface the violation
+    // with a diagnosable message instead of a late null-in-non-nullable
+    // Int failure after the exchange
+    import org.apache.spark.sql.Encoders
+    val good = Fixtures.tokenTable(spark, 50L)
+    val bad = good.toDF()
+      .withColumn("doc_id",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("n_tok") < 0,
+          org.apache.spark.sql.functions.col("doc_id"))) // null for all rows, string-typed
+      .as[TokenRow](Encoders.product[TokenRow])
+    val comp = TokenCompressor(EncodeOptions(numParts = 2, sampleMod = 1))
+    val plan = Planner.plan(good, EncodeOptions(numParts = 2, sampleMod = 1))
+    val e = intercept[Throwable] {
+      comp.encodeWithPlan(bad, plan, None).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("routing key")),
+      s"expected the routing-key contract message, got: ${messages(e)}")
+  }
 }

@@ -257,4 +257,24 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(MediaOps.Exif.orientation(corruptOffset(0x80000000L)) == 1)
     assert(MediaOps.Exif.orientation(corruptOffset(0xFFFFFFF0L)) == 1)
   }
+
+  test("webp/avif convert fails CLOSED like the reference's InvalidFormat") {
+    // the reference's ImageFormat enum lists webp/avif but throws
+    // InvalidFormat without the native sibling package
+    // (/root/reference/src/EncodeTools.ts:301-310); the engine mirrors the
+    // shape exactly: known-but-codec-less formats raise at PLAN time
+    // (driver), before any task runs, and unknown formats raise the
+    // closed-world error — pinned here so the documented N/A stays loud
+    // rather than silently converting to png
+    for (f <- Seq("webp", "avif")) {
+      val e = intercept[InvalidCodecException](MediaOps.convert(media, f))
+      assert(e.getMessage.contains(s"no JVM codec for '$f'"))
+    }
+    val unknown = intercept[InvalidCodecException](MediaOps.convert(media, "xpm"))
+    assert(unknown.getMessage.contains("unknown image format"))
+    // the executor-side kernel fails closed too (defense in depth for
+    // callers that bypass applyOps)
+    val img = ImageCodec.synthImage(5L)
+    intercept[InvalidCodecException](ImageCodec.encode(img, "webp"))
+  }
 }

@@ -104,4 +104,20 @@ class PlannerSpec extends AnyFunSuite {
     assert(back.lineage(1).codecs == Map("rle" -> 1L, "dict" -> 1L))
     assert(back.lineage(1).checksum_xor == 0x123L)
   }
+
+  test("PlanRouting equality is semantic (plan content), enabling CSE") {
+    // two routings built from equal-content plans must compare equal so two
+    // PartIdOf expressions over the same plan unify under Catalyst
+    // subexpression elimination / exchange reuse
+    val sample = Array.tabulate(100)(i => (f"d$i%04d", (i % 7 + 1).toLong))
+      .sortBy(_._1)(DocIdOrder)
+    val planA = Planner.fromSample(sample, 8)
+    val planB = Planner.fromSample(sample.clone(), 8) // distinct object, same content
+    val ra = new PlanRouting(planA)
+    val rb = new PlanRouting(planB)
+    assert(ra == rb && ra.hashCode == rb.hashCode)
+    assert(PartIdOf(null, ra) == PartIdOf(null, rb))
+    val planC = Planner.fromSample(sample.take(50), 8)
+    assert(new PlanRouting(planC) != ra)
+  }
 }
