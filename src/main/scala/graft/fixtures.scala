@@ -161,4 +161,38 @@ object Fixtures {
         }
       }(Encoders.product[TokenRow])
   }
+
+  /** Posting-list-shaped table (delta bench leg): doc i carries a sorted
+    * near-monotonic run of ids — small random gaps (1..16) from a
+    * deterministic per-doc base on a GLOBAL increasing sequence, so
+    * consecutive doc_id-sorted docs continue each other and a whole
+    * concatenated block stays near-monotonic (tiny max delta, huge range).
+    * This is the shape where delta beats every other codec: FOR/bitpack
+    * pay range/magnitude width (~20-31 bits), RLE sees runs of length 1,
+    * dict sees ~all-distinct values — delta pays ~bits(2*maxGap) per token.
+    * Mirrors real posting lists / sorted offset columns in training-data
+    * indexes.
+    */
+  final val PostingDocLen = 680
+  final val PostingAvgGap = 8L
+  def postingTable(spark: SparkSession, nDocs: Long, seed: Long = 11L,
+                   partitions: Int = 0): Dataset[TokenRow] = {
+    val p = if (partitions > 0) partitions
+            else spark.sparkContext.defaultParallelism
+    spark.range(0, nDocs, 1, p)
+      .mapPartitions(_.map { i =>
+        val rng = new Rng(seed ^ (i * -6148914691236517205L))
+        val n = PostingDocLen
+        val tokens = new Array[Int](n)
+        // global base keeps doc i+1 starting just past doc i's last id
+        var v = (i * n * PostingAvgGap).toInt // 32-bit wrap is fine (delta wrap law)
+        var j = 0
+        while (j < n) {
+          v += 1 + rng.nextInt(16)
+          tokens(j) = v
+          j += 1
+        }
+        TokenRow(f"posting-$i%010d", tokens, n, "posting")
+      })(Encoders.product[TokenRow])
+  }
 }
