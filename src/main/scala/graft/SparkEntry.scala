@@ -506,6 +506,33 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("hamming"), col("dropped_pairs"))
         .orderBy("doc_a")
     }),
+    "dd_incremental" -> ((s, dir) => {
+      // CROSS-RUN incremental dedup: the base corpus is committed to a
+      // persistent minhash band-bucket index (snapshot table, one text
+      // scan), then a NEW batch — planted near-dups of every 10th doc
+      // (+2000000, tiny suffix) plus disjoint-vocabulary decoys
+      // (+3000000) — is probed against the COMMITTED buckets only: the
+      // old corpus is never re-signed. Recall: every planted pair must
+      // surface (doc_a = committed, doc_b = new). Precision: any pair
+      // touching a decoy is admitted to the output, so the oracle (which
+      // lists only planted pairs) hash-breaks on false positives. The
+      // bucket cap's dropped-pair audit rides in-band; the oracle pins 0.
+      val table = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      MinhashIndex.commit(base, table)
+      val planted = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zq")).as("text"))
+      val decoys = base.where(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          array_join(transform(sequence(lit(0), lit(29)),
+            j => concat(lit("qz"), col("doc_id"), lit("x"), j)), " ").as("text"))
+      MinhashIndex.incrementalPairs(planted.unionByName(decoys), table,
+          minJaccard = 0.5, maxBucket = 4096, auditDropped = true)
+        .where(plantedOrDecoy("doc_a", "doc_b", 2000000L, 3000000L))
+        .select(col("doc_a"), col("doc_b"), col("dropped_pairs"))
+        .orderBy("doc_a")
+    }),
     "dd_ngram_jaccard" -> ((s, dir) => {
       // verification stage: exact 5-gram jaccard on LSH candidates, checked
       // for full recall over planted pairs AND zero decoy survivors (the
@@ -952,6 +979,10 @@ object SparkEntry {
         """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, cast(0 as int) AS hamming,
           |  cast(0 as bigint) AS dropped_pairs
           |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_a""".stripMargin,
+      "dd_incremental" ->
+        """SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b,
+          |  cast(0 as bigint) AS dropped_pairs
+          |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_a""".stripMargin,
       "dd_ngram_jaccard" ->
         """SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b
           |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_a""".stripMargin,

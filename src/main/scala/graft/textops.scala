@@ -213,15 +213,30 @@ object TextOps {
     * per doc (id + k longs), orders of magnitude smaller than the text it
     * replaces, and [[SigCache]] bounds how many stay resident.
     */
-  private[graft] def minhashBanded(df: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def minhashBanded(df: DataFrame, k: Int, bands: Int): DataFrame =
+    bandedOf(minhashSigs(df, k), k, bands)
+
+  /** The expensive text→signature stage alone (doc_id, sig), persisted via
+    * [[SigCache]] — shared by the band explode below and by
+    * [[MinhashIndex.commit]]'s sig-table write, so the text is read once.
+    * Signature = native codegen expression (expressions.scala MinhashSig):
+    * one generated-code call per row, no Dataset-encoder round-trip.
+    */
+  private[graft] def minhashSigs(df: DataFrame, k: Int): DataFrame = {
     val spark = df.sparkSession
     GraftFunctions.register(spark) // idempotent
-    val rowsPerBand = k / bands
-    // signature = native codegen expression (expressions.scala MinhashSig):
-    // one generated-code call per row, no Dataset-encoder round-trip
-    val sigs = SigCache.persist(
+    SigCache.persist(
       df.select(col("doc_id").cast("long").as("doc_id"),
         call_function("minhash_sig", col("text"), lit(k), lit(42L)).as("sig")))
+  }
+
+  /** Cheap band-key explode over an existing signature frame. Kept
+    * expression-identical across callers (batch dedup, index commit,
+    * incremental probe) so bucket keys are comparable ACROSS runs — the
+    * property [[MinhashIndex]]'s committed buckets rely on.
+    */
+  private[graft] def bandedOf(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
     sigs.select(
       col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band")

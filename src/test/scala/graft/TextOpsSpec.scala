@@ -124,4 +124,65 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) == "fr")
     assert(out(4L) == "und")
   }
+
+  test("minhash index: incremental dedup against the COMMITTED corpus only") {
+    val table = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val other = (1 to 60).map(i => s"other$i").mkString(" ")
+    // v1: two committed docs
+    val s1 = MinhashIndex.commit(docsDf(Seq((1L, base), (2L, other))), table)
+    assert(s1.version == 1 && s1.nDocs == 2 && s1.versions == Seq(1))
+    // probe a new batch: near-dup of doc 1, plus an unrelated doc
+    val newBatch = docsDf(Seq((100L, base + " extra"), (101L, "zz yy xx ww vv")))
+    val p1 = MinhashIndex.incrementalPairs(newBatch, table, minJaccard = 0.5,
+        auditDropped = true).collect()
+    assert(p1.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 100L)))
+    assert(p1.head.getAs[Double]("est_jaccard") > 0.5)
+    assert(p1.head.getAs[Long]("dropped_pairs") == 0L)
+    // v2: append the probed batch; a later batch dedups against BOTH
+    val s2 = MinhashIndex.commit(newBatch, table)
+    assert(s2.version == 2 && s2.nDocs == 4 && s2.versions == Seq(1, 2))
+    val p2 = MinhashIndex.incrementalPairs(
+      docsDf(Seq((200L, base + " tail"))), table, minJaccard = 0.5).collect()
+    assert(p2.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 200L), (100L, 200L)))
+    // time travel: probing AS OF v1 must not see v2's docs
+    val p1again = MinhashIndex.incrementalPairs(
+      docsDf(Seq((200L, base + " tail"))), table, minJaccard = 0.5,
+      asOfVersion = Some(1)).collect()
+    assert(p1again.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 200L)))
+    // commit-conflict law: a snapshot version is immutable once committed
+    intercept[SnapshotConflictException] {
+      MinhashIndex.at(spark, table, 2).foreach { _ =>
+        // force a version collision by replaying version 2's write
+        val m = MinhashIndex.getClass.getDeclaredMethod(
+          "write", classOf[org.apache.spark.sql.SparkSession],
+          classOf[String], classOf[MinhashIndexSnapshot])
+        m.setAccessible(true)
+        try m.invoke(MinhashIndex, spark, table, s2)
+        catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+      }
+    }
+    // parameter mismatch fails closed
+    intercept[IllegalArgumentException] {
+      MinhashIndex.commit(docsDf(Seq((300L, "a b c"))), table, k = 32, bands = 8)
+    }
+  }
+
+  test("minhash index: oversized committed buckets are capped with in-band audit") {
+    val table = java.nio.file.Files.createTempDirectory("graft_idx_cap").toString
+    // 8 identical committed docs -> every band bucket has 8 members
+    val dupText = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    MinhashIndex.commit(docsDf((1L to 8L).map(i => (i, dupText))), table)
+    val probe = docsDf(Seq((500L, dupText)))
+    // cap below the bucket size: all candidates dropped, audit > 0
+    val capped = MinhashIndex.incrementalPairs(probe, table, minJaccard = 0.5,
+      maxBucket = 4, auditDropped = true)
+    val rows = capped.collect()
+    assert(rows.isEmpty) // every committed bucket oversized -> no pairs survive
+    // cap above: all 8 pair up, audit 0
+    val open = MinhashIndex.incrementalPairs(probe, table, minJaccard = 0.5,
+      maxBucket = 64, auditDropped = true).collect()
+    assert(open.map(_.getLong(0)).toSet == (1L to 8L).toSet)
+    assert(open.forall(_.getAs[Long]("dropped_pairs") == 0L))
+  }
 }
