@@ -469,6 +469,18 @@ object Bench {
         }
         put("compression_ratio_zdict_off", f"${ratio(zBase)}%.3f")
         put("compression_ratio_zdict", f"${ratio(zBase.copy(zdictBlocks = 8))}%.3f")
+        // zdictAuto probe decisions: must say YES on the motif fixture and
+        // NO on the standard mixed fixture (else the heuristic is miscalibrated)
+        val motifSample = s.read.parquet(motifPath)
+          .as[TokenRow](Encoders.product[TokenRow])
+          .limit(ZdictProbe.SampleDocs).collect()
+        val (zaMotif, zwMotif) = ZdictProbe.decide(motifSample, zBase)
+        put("zdict_auto_motif", zaMotif.toString)
+        put("zdict_auto_motif_win", f"$zwMotif%.3f")
+        val (zaMixed, zwMixed) = ZdictProbe.decide(
+          Fixtures.localRows(ZdictProbe.SampleDocs), EncodeOptions())
+        put("zdict_auto_mixed", zaMixed.toString)
+        put("zdict_auto_mixed_win", f"$zwMixed%.3f")
       } finally stop(s)
     }
 

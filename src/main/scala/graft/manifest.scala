@@ -40,7 +40,8 @@ final case class Snapshot(
     committed: Set[Int],
     lineage: Map[Int, PartLineage],
     streamBatchId: Option[Long] = None,
-    ivfCentroids: Option[Array[Array[Double]]] = None
+    ivfCentroids: Option[Array[Array[Double]]] = None,
+    zdictEnabled: Option[Boolean] = None // ZdictProbe decision at v0 (None = not probed)
 )
 
 /** Iceberg-style append-only snapshot log over partitioned Parquet.
@@ -124,6 +125,7 @@ object ManifestIO {
     root.put("version", s.version)
     root.put("committed_at", s.committedAtMillis)
     s.streamBatchId.foreach(b => root.put("stream_batch_id", b))
+    s.zdictEnabled.foreach(z => root.put("zdict_enabled", z))
     val p = root.putObject("plan")
     val ba = p.putArray("boundaries"); s.plan.boundaries.foreach(ba.add)
     val sa = p.putArray("saltOf"); s.plan.saltOf.foreach(sa.add)
@@ -185,7 +187,8 @@ object ManifestIO {
       lineage,
       Option(root.get("stream_batch_id")).map(_.asLong),
       Option(root.get("ivf_centroids")).map(_.elements().asScala
-        .map(row => row.elements().asScala.map(_.asDouble).toArray).toArray)
+        .map(row => row.elements().asScala.map(_.asDouble).toArray).toArray),
+      Option(root.get("zdict_enabled")).map(_.asBoolean)
     )
   }
 }
@@ -209,14 +212,30 @@ object ResumableEncodeJob {
       maxPartsPerRun: Int = Int.MaxValue
   ): Snapshot = {
     val spark = input.sparkSession
-    val compressor = TokenCompressor(opts)
 
     val base = ManifestIO.latest(spark, table).getOrElse {
       val plan = Planner.plan(input, opts)
-      val s0 = Snapshot(0, System.currentTimeMillis(), plan, Set.empty, Map.empty)
+      // zdict auto-probe runs ONCE, at table creation: CollectLimit pulls
+      // the sample from O(1) input partitions (not a corpus scan), and the
+      // decision is persisted in snapshot v0 — replay consistency for every
+      // resume/batch comes from the manifest, not from the sample itself
+      val zd: Option[Boolean] =
+        if (opts.zdictAuto && opts.zdictBlocks == 0 && opts.zstdLevel > 0
+            && Zframe.available)
+          Some(ZdictProbe.decide(
+            input.limit(ZdictProbe.SampleDocs).collect(), opts)._1)
+        else None
+      val s0 = Snapshot(0, System.currentTimeMillis(), plan, Set.empty,
+        Map.empty, zdictEnabled = zd)
       ManifestIO.write(spark, table, s0)
       s0
     }
+    // the recorded probe decision (this run's or an earlier run's) wins
+    val effOpts =
+      if (base.zdictEnabled.contains(true))
+        opts.copy(zdictBlocks = math.max(opts.zdictBlocks, 8))
+      else opts
+    val compressor = TokenCompressor(effOpts)
     val plan = base.plan
     val pending = (0 until plan.numParts).filterNot(base.committed)
     if (pending.isEmpty) return base
@@ -243,7 +262,8 @@ object ResumableEncodeJob {
       System.currentTimeMillis(),
       plan,
       base.committed ++ batch,
-      base.lineage ++ lineage
+      base.lineage ++ lineage,
+      zdictEnabled = base.zdictEnabled
     )
     ManifestIO.write(spark, table, next)
     next
@@ -317,7 +337,10 @@ object ResumableEncodeJob {
     val srcSnap = ManifestIO.latest(spark, srcTable)
       .getOrElse(throw new IllegalStateException(s"no snapshot in $srcTable"))
     val base = ManifestIO.latest(spark, dstTable).getOrElse {
-      val s0 = Snapshot(0, System.currentTimeMillis(), srcSnap.plan, Set.empty, Map.empty)
+      // the zdict probe decision is a property of the DATA, so a policy
+      // migration inherits it from SRC rather than re-probing
+      val s0 = Snapshot(0, System.currentTimeMillis(), srcSnap.plan, Set.empty,
+        Map.empty, zdictEnabled = srcSnap.zdictEnabled)
       ManifestIO.write(spark, dstTable, s0)
       s0
     }
@@ -344,7 +367,8 @@ object ResumableEncodeJob {
       System.currentTimeMillis(),
       srcSnap.plan,
       base.committed ++ batch,
-      base.lineage ++ lineageFor(spark, dstTable, batch)
+      base.lineage ++ lineageFor(spark, dstTable, batch),
+      zdictEnabled = base.zdictEnabled
     )
     ManifestIO.write(spark, dstTable, next)
     next

@@ -101,6 +101,12 @@ final case class EncodedBlock(
   *                     default OFF to keep the latency-oriented encode path
   *                     free of the training stall
   * @param zdictBytes   target dictionary size in bytes (capped by sample mass)
+  * @param zdictAuto    when true (and zdictBlocks == 0), [[ResumableEncodeJob]]
+  *                     probes a deterministic sample at table creation with
+  *                     the REAL block encoder ([[ZdictProbe]]) and enables
+  *                     the shared dictionary when the projected win clears
+  *                     the threshold; the decision is recorded in snapshot
+  *                     v0 and replayed by every resume — never re-probed
   */
 final case class EncodeOptions(
     codecPolicy: String = "auto",
@@ -113,7 +119,8 @@ final case class EncodeOptions(
     retrainEvery: Int = 16,
     packShuffle: Boolean = false,
     zdictBlocks: Int = 0,
-    zdictBytes: Int = 1 << 16
+    zdictBytes: Int = 1 << 16,
+    zdictAuto: Boolean = false
 ) extends Serializable
 
 object EncodeOptions {

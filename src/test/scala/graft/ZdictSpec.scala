@@ -89,4 +89,67 @@ class ZdictSpec extends AnyFunSuite {
     val blocks = TokenCompressor(EncodeOptions(numParts = 1)).encode(ds).collect()
     assert(blocks.forall(b => b.outer != "zstdd" && b.zdict.isEmpty))
   }
+
+  test("ZdictProbe: YES on motif-shaped data, NO on the mixed fixture") {
+    val opts = EncodeOptions(codecPolicy = "plain")
+    val (onMotif, winMotif) =
+      ZdictProbe.decide(motifRows(ZdictProbe.SampleDocs).toArray, opts)
+    assert(onMotif, f"probe must enable on motifs (win=$winMotif%.3f)")
+    assert(winMotif > ZdictProbe.MinWin)
+    // the standard mixed six-source fixture has no cross-block redundancy a
+    // dictionary can buy back — the probe must say no there
+    val (onMixed, winMixed) =
+      ZdictProbe.decide(Fixtures.localRows(ZdictProbe.SampleDocs), EncodeOptions())
+    assert(!onMixed, f"probe must stay off on mixed data (win=$winMixed%.3f)")
+  }
+
+  test("zdictAuto: probe decision lands in snapshot v0 and every resume replays it") {
+    import org.apache.spark.sql.Encoders
+    val dir = java.nio.file.Files.createTempDirectory("zdict_auto").toString
+    val opts = EncodeOptions(codecPolicy = "plain", numParts = 4,
+      blockTokens = 1 << 12, zdictAuto = true)
+    // 8192 docs x 64 tok / 4 parts = 32 blocks per partition at 4 Ki-token
+    // blocks: 8 train the dict, 24 frame with it
+    val motif = spark.createDataset(motifRows(8192))(Encoders.product[TokenRow])
+
+    // interrupted run: the probe fires once (v0), the resume reads the
+    // recorded decision instead of re-probing
+    val s1 = ResumableEncodeJob.run(motif, s"$dir/m", opts, maxPartsPerRun = 2)
+    assert(s1.zdictEnabled.contains(true), "motif table must enable the dict")
+    assert(ManifestIO.at(spark, s"$dir/m", 0).exists(_.zdictEnabled.contains(true)),
+      "decision must be recorded at v0 (JSON round-trip included)")
+    val s2 = ResumableEncodeJob.run(motif, s"$dir/m", opts)
+    assert(s2.zdictEnabled.contains(true), "resume must carry the decision")
+    val blocks = ResumableEncodeJob.readBlocks(spark, s"$dir/m").collect()
+    assert(blocks.count(_.outer == "zstdd") > 0,
+      "resumed batches must encode with the shared dict")
+    // and the table still decodes exactly
+    val back = TokenCompressor(opts).decode(
+      ResumableEncodeJob.readBlocks(spark, s"$dir/m"))
+      .collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
+    assert(back == motif.collect().map(r => r.doc_id -> r.tokens.toSeq).toMap)
+
+    // dict genuinely shrank the table vs the same run with auto off
+    val sOff = ResumableEncodeJob.run(motif, s"$dir/off",
+      opts.copy(zdictAuto = false))
+    assert(s2.lineage.values.map(_.encoded_bytes).sum <
+      sOff.lineage.values.map(_.encoded_bytes).sum)
+
+    // mixed data: probe records FALSE and the encode is byte-identical to
+    // a plain run (the auto flag must be a no-op when it loses)
+    val mixed = Fixtures.tokenTable(spark, 512L).repartition(2)
+    val sAuto = ResumableEncodeJob.run(mixed, s"$dir/x_auto",
+      EncodeOptions(numParts = 4, zdictAuto = true))
+    assert(sAuto.zdictEnabled.contains(false))
+    val sPlain = ResumableEncodeJob.run(mixed, s"$dir/x_plain",
+      EncodeOptions(numParts = 4))
+    assert(sAuto.lineage.values.map(_.checksum_xor).toSet ==
+      sPlain.lineage.values.map(_.checksum_xor).toSet)
+    assert(sAuto.lineage.values.map(_.encoded_bytes).sum ==
+      sPlain.lineage.values.map(_.encoded_bytes).sum)
+
+    // policy migration inherits the decision from SRC without re-probing
+    val m = ResumableEncodeJob.migrate(spark, s"$dir/m", s"$dir/m2", opts)
+    assert(m.zdictEnabled.contains(true))
+  }
 }

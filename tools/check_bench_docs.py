@@ -42,6 +42,26 @@ for pat, key in checks:
                    "(cluster section skipped?)")
     elif abs(float(m.group(1)) - float(d[key])) > 1e-9:
         bad.append(f"{key}: BENCH.md says {m.group(1)}, BENCH_LOCAL.json says {d[key]}")
+# query-count gate (round-4 verdict item 5): the "N driver queries,
+# N oracle-checked" claim must match BOTH the committed bench artifact's
+# query map and the SparkEntry oracle catalog, so the count cannot silently
+# go stale when a query is added without re-running the bench.
+src = open(root / "src/main/scala/graft/SparkEntry.scala").read()
+oracle_n = len(set(re.findall(r'"([a-z0-9_]+)" ->',
+                              src[src.index("def oracleSql"):])))
+bench_n = len(d.get("queries", {}))
+m = re.search(r"\*\*(\d+) driver queries, (\d+) oracle-checked", md)
+if not m:
+    bad.append("BENCH.md query-count claim line not found")
+else:
+    claimed = int(m.group(1))
+    if int(m.group(2)) != claimed:
+        bad.append(f"BENCH.md claims {claimed} queries but {m.group(2)} oracle-checked")
+    if claimed != oracle_n:
+        bad.append(f"BENCH.md claims {claimed} queries, SparkEntry.oracleSql has {oracle_n}")
+    if claimed != bench_n:
+        bad.append(f"BENCH.md claims {claimed} queries, BENCH_LOCAL.json query map has {bench_n}")
 if bad:
     print("STALE BENCH.md:\n  " + "\n  ".join(bad)); sys.exit(1)
-print(f"BENCH.md matches BENCH_LOCAL.json ({len(checks)} fields)")
+print(f"BENCH.md matches BENCH_LOCAL.json ({len(checks)} fields, "
+      f"{oracle_n} queries)")
