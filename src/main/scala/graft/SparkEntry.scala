@@ -189,6 +189,20 @@ object SparkEntry {
       q.awaitTermination()
       TokenTables.digest(StreamingEncode.readDecoded(s, table)).orderBy("doc_id")
     }),
+    "stream_compact" -> ((s, dir) => {
+      // stream ingest, then fold the micro-batch dirs into the part_id
+      // layout (StreamingEncode.compact): the decoded digest must STILL
+      // equal the batch oracle — compaction is a physical re-layout with
+      // zero logical effect (block-size/file-count recovery is pinned by
+      // CompactionSpec; this query pins content preservation)
+      val tmpIn = java.nio.file.Files.createTempDirectory("graft_cstream_in").toString
+      val table = java.nio.file.Files.createTempDirectory("graft_cstream_tbl").toString
+      TokenTables.fromLineitem(s, dir).write.mode("overwrite").parquet(tmpIn)
+      val q = StreamingEncode.start(s, tmpIn, table, EncodeOptions(numParts = 4))
+      q.awaitTermination()
+      StreamingEncode.compact(s, table, EncodeOptions(numParts = 4))
+      TokenTables.digest(StreamingEncode.readDecoded(s, table)).orderBy("doc_id")
+    }),
     "enc_range_read" -> ((s, dir) => {
       // encode to a manifest table, then a pruned doc_id-range read
       // (partition + block min/max pruning before any payload decode)
@@ -772,6 +786,7 @@ object SparkEntry {
       "enc_roundtrip_fsst" -> digestOracle,
       "enc_strict_bound" -> digestOracle,
       "stream_ingest" -> digestOracle,
+      "stream_compact" -> digestOracle,
       "enc_tokens_full" ->
         """SELECT
           |  lpad(cast(l_orderkey as varchar), 10, '0') || '-' ||

@@ -41,7 +41,13 @@ final case class Snapshot(
     lineage: Map[Int, PartLineage],
     streamBatchId: Option[Long] = None,
     ivfCentroids: Option[Array[Array[Double]]] = None,
-    zdictEnabled: Option[Boolean] = None // ZdictProbe decision at v0 (None = not probed)
+    zdictEnabled: Option[Boolean] = None, // ZdictProbe decision at v0 (None = not probed)
+    // stream-batch compaction state: batches <= compactedBatchId have been
+    // re-encoded into compacted/run=V dirs (one entry per compaction run)
+    // and their batch dirs deleted; readers union the runs with the
+    // still-uncompacted batch tail
+    compactedBatchId: Option[Long] = None,
+    compactedRuns: Seq[Int] = Nil
 )
 
 /** Iceberg-style append-only snapshot log over partitioned Parquet.
@@ -60,6 +66,8 @@ object ManifestIO {
 
   def snapshotsDir(table: String) = new Path(table, "snapshots")
   def dataDir(table: String) = new Path(table, "data")
+  def compactedDir(table: String, run: Int) =
+    new Path(table, s"compacted/run=$run")
 
   def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -126,6 +134,10 @@ object ManifestIO {
     root.put("committed_at", s.committedAtMillis)
     s.streamBatchId.foreach(b => root.put("stream_batch_id", b))
     s.zdictEnabled.foreach(z => root.put("zdict_enabled", z))
+    s.compactedBatchId.foreach(b => root.put("compacted_batch_id", b))
+    if (s.compactedRuns.nonEmpty) {
+      val ca = root.putArray("compacted_runs"); s.compactedRuns.foreach(ca.add)
+    }
     val p = root.putObject("plan")
     val ba = p.putArray("boundaries"); s.plan.boundaries.foreach(ba.add)
     val sa = p.putArray("saltOf"); s.plan.saltOf.foreach(sa.add)
@@ -188,7 +200,10 @@ object ManifestIO {
       Option(root.get("stream_batch_id")).map(_.asLong),
       Option(root.get("ivf_centroids")).map(_.elements().asScala
         .map(row => row.elements().asScala.map(_.asDouble).toArray).toArray),
-      Option(root.get("zdict_enabled")).map(_.asBoolean)
+      Option(root.get("zdict_enabled")).map(_.asBoolean),
+      Option(root.get("compacted_batch_id")).map(_.asLong),
+      Option(root.get("compacted_runs")).toSeq
+        .flatMap(_.elements().asScala.map(_.asInt))
     )
   }
 }
@@ -389,13 +404,28 @@ object ResumableEncodeJob {
       .getOrElse(throw new IllegalStateException(s"no snapshot in $table"))
     val committed = snap.committed.toSeq
     // schema-explicit: a committed-but-empty table (zero input rows) has no
-    // parquet footers to infer from and must read back as empty, not throw
-    val df = spark.read
-      .schema(Encoders.product[EncodedBlock].schema)
-      .parquet(ManifestIO.dataDir(table).toString)
-      .where(col("part_id").isin(committed: _*))
-    // partitionBy pushed part_id to the directory key; restore column order
+    // parquet footers to infer from and must read back as empty, not throw;
+    // a stream-only table (compacted runs, no batch write) has no data/ dir
+    val dataDir = ManifestIO.dataDir(table)
+    val batch =
+      if (ManifestIO.fs(spark, table).exists(dataDir))
+        spark.read
+          .schema(Encoders.product[EncodedBlock].schema)
+          .parquet(dataDir.toString)
+          .where(col("part_id").isin(committed: _*))
+      else
+        spark.emptyDataset[EncodedBlock](Encoders.product[EncodedBlock]).toDF()
+    // stream-compaction runs are committed as whole directories (the run id
+    // rides in the snapshot), independent of the batch parts' committed set.
+    // partitionBy pushed part_id to the directory key; column order is
+    // pinned per branch before the positional union
     val cols = Encoders.product[EncodedBlock].schema.fieldNames.map(col)
-    df.select(cols.toSeq: _*).as[EncodedBlock](Encoders.product[EncodedBlock])
+    val df = snap.compactedRuns.foldLeft(batch.select(cols.toSeq: _*)) { (acc, run) =>
+      acc.unionAll(spark.read
+        .schema(Encoders.product[EncodedBlock].schema)
+        .parquet(ManifestIO.compactedDir(table, run).toString)
+        .select(cols.toSeq: _*))
+    }
+    df.as[EncodedBlock](Encoders.product[EncodedBlock])
   }
 }

@@ -32,13 +32,33 @@ object RangeReader {
   ): Dataset[EncodedBlock] = {
     val snap = ManifestIO.latest(spark, table)
       .getOrElse(throw new IllegalStateException(s"no snapshot in $table"))
-    val parts = candidateParts(snap.plan, fromDoc, toDoc)
-      .filter(snap.committed)
+    val cand = candidateParts(snap.plan, fromDoc, toDoc)
+    val parts = cand.filter(snap.committed)
+    // a stream-only table has no batch data/ dir at all — its blocks live
+    // in compacted runs + the stream-batch tail (read via StreamingEncode)
+    val dataDir = ManifestIO.dataDir(table)
+    val batch =
+      if (ManifestIO.fs(spark, table).exists(dataDir))
+        spark.read
+          .schema(Encoders.product[EncodedBlock].schema)
+          .parquet(dataDir.toString)
+          .where(col("part_id").isin(parts: _*))
+      else
+        spark.emptyDataset[EncodedBlock](Encoders.product[EncodedBlock]).toDF()
+    // compacted stream runs carry the same part_id dir layout and block
+    // zone maps, so the identical three-level pruning applies — their
+    // commit unit is the run dir (snapshot list), not the batch part set.
+    // Column order is pinned per branch before the positional union
+    // (partitioned reads append part_id last)
     val cols = Encoders.product[EncodedBlock].schema.fieldNames.map(col)
-    spark.read
-      .schema(Encoders.product[EncodedBlock].schema)
-      .parquet(ManifestIO.dataDir(table).toString)
-      .where(col("part_id").isin(parts: _*))
+    val all = snap.compactedRuns.foldLeft(batch.select(cols.toIndexedSeq: _*)) { (acc, run) =>
+      acc.unionAll(spark.read
+        .schema(Encoders.product[EncodedBlock].schema)
+        .parquet(ManifestIO.compactedDir(table, run).toString)
+        .where(col("part_id").isin(cand: _*))
+        .select(cols.toIndexedSeq: _*))
+    }
+    all
       .where(col("last_doc_id") >= fromDoc && col("first_doc_id") <= toDoc)
       .select(cols.toIndexedSeq: _*)
       .as[EncodedBlock](Encoders.product[EncodedBlock])

@@ -112,25 +112,135 @@ object StreamingEncode {
       .start()
   }
 
-  /** Read back everything the stream has COMMITTED, as token rows. Batch
-    * directories are derived from the snapshot's streamBatchId — a bare
-    * glob would also pick up a half-written directory from a crashed
-    * foreachBatch attempt that never committed its snapshot, breaking the
-    * commit-then-visible law the batch readers obey.
+  /** Read back everything the stream has COMMITTED, as encoded blocks:
+    * the compacted runs (batches folded into the `compacted/run=V` part
+    * layout) plus the still-uncompacted batch tail. Batch directories are
+    * derived from the snapshot's streamBatchId — a bare glob would also
+    * pick up a half-written directory from a crashed foreachBatch attempt
+    * that never committed its snapshot, breaking the commit-then-visible
+    * law the batch readers obey. Batches at or below compactedBatchId are
+    * skipped even if their dirs still exist (a crash between compaction
+    * commit and batch-dir cleanup leaves them; the next compaction sweeps).
     */
-  def readDecoded(spark: SparkSession, table: String): Dataset[TokenRow] = {
+  def readCommittedBlocks(spark: SparkSession, table: String): Dataset[EncodedBlock] = {
     val snap = ManifestIO.latest(spark, table)
       .getOrElse(throw new IllegalStateException(s"no snapshot in $table"))
     val maxBatch = snap.streamBatchId.getOrElse(-1L)
+    val minBatch = snap.compactedBatchId.map(_ + 1).getOrElse(0L)
     val fs = ManifestIO.fs(spark, table)
-    val committedDirs = (0L to maxBatch)
+    val runDirs = snap.compactedRuns
+      .map(r => ManifestIO.compactedDir(table, r).toString)
+    val batchDirs = (minBatch to maxBatch)
       .map(b => s"$table/stream_batches/batch=$b")
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    // one scan per dir with an explicit basePath: a single multi-path scan
+    // would run Hive-style partition inference across `run=V` / `batch=B`
+    // parents and reject the mix as conflicting structures; per-dir reads
+    // keep inference scoped to the part_id level. Column order is pinned
+    // before the positional union (partitioned reads append part_id last)
     val cols = Encoders.product[EncodedBlock].schema.fieldNames.map(col)
-    val blocks = spark.read
+    val base = spark.emptyDataset[EncodedBlock](Encoders.product[EncodedBlock]).toDF()
+    val blocks = (runDirs ++ batchDirs)
+      .map(d => spark.read
+        .schema(Encoders.product[EncodedBlock].schema)
+        .option("basePath", d)
+        .parquet(d)
+        .select(cols.toIndexedSeq: _*))
+      .reduceOption(_ unionAll _)
+      .getOrElse(base)
+    blocks.select(cols.toIndexedSeq: _*)
+      .as[EncodedBlock](Encoders.product[EncodedBlock])
+  }
+
+  /** Everything the stream has committed, decoded to token rows. */
+  def readDecoded(spark: SparkSession, table: String): Dataset[TokenRow] =
+    TokenCompressor(EncodeOptions.default).decode(readCommittedBlocks(spark, table))
+
+  /** Fold the committed stream-batch tail into the table's part_id layout.
+    *
+    * A long-running ingest accumulates one directory of micro-batch-sized
+    * blocks per trigger — at 10^12 sequences that is millions of small
+    * files with no directory-level pruning and block sizes far below
+    * [[EncodeOptions.blockTokens]] (worse codec ratios, per-block overhead
+    * paid thousands of times over). Compaction decodes the batches at or
+    * below the current streamBatchId and re-encodes them with the table's
+    * PERSISTENT plan (same routing law as every batch write → identical
+    * clustering, one exchange over just the compacted span, doc_id-sorted
+    * full-size blocks with table reuse re-amortized), writes the result to
+    * an immutable `compacted/run=V` directory, then commits a snapshot
+    * whose `compactedBatchId` watermark makes the run visible and the
+    * source batches invisible in the same atomic rename. Batch dirs are
+    * deleted only after that commit; a crash anywhere leaves either an
+    * unreferenced run dir (swept by the next compaction before it writes)
+    * or already-invisible batch dirs (swept likewise) — never duplicate or
+    * missing rows.
+    *
+    * Incremental by construction: each run compacts only (previous
+    * watermark, streamBatchId], so steady-state cost tracks ingest rate,
+    * not table size. Run count grows one per invocation; every run keeps
+    * the part_id dir layout, so reader-side pruning is unaffected.
+    *
+    * @return the committed snapshot, or the current one when there is
+    *         nothing to compact
+    */
+  def compact(
+      spark: SparkSession,
+      table: String,
+      opts: EncodeOptions = EncodeOptions.default
+  ): Snapshot = {
+    val base = ManifestIO.latest(spark, table)
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $table"))
+    val maxBatch = base.streamBatchId.getOrElse(-1L)
+    val minBatch = base.compactedBatchId.map(_ + 1).getOrElse(0L)
+    val fs = ManifestIO.fs(spark, table)
+    // sweep leftovers from crashed predecessors: run dirs no snapshot
+    // references, and batch dirs already below the watermark
+    val compactedRoot = new org.apache.hadoop.fs.Path(table, "compacted")
+    if (fs.exists(compactedRoot)) {
+      val live = base.compactedRuns.map(r => s"run=$r").toSet
+      fs.listStatus(compactedRoot)
+        .filterNot(st => live(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    (0L until minBatch)
+      .map(b => new org.apache.hadoop.fs.Path(s"$table/stream_batches/batch=$b"))
+      .filter(fs.exists)
+      .foreach(d => fs.delete(d, true))
+
+    val pendingDirs = (minBatch to maxBatch)
+      .map(b => s"$table/stream_batches/batch=$b")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (pendingDirs.isEmpty) return base
+
+    val cols = Encoders.product[EncodedBlock].schema.fieldNames.map(col)
+    val tail = spark.read
       .schema(Encoders.product[EncodedBlock].schema)
-      .parquet(committedDirs: _*)
-      .select(cols.toIndexedSeq: _*).as[EncodedBlock](Encoders.product[EncodedBlock])
-    TokenCompressor(EncodeOptions.default).decode(blocks)
+      .parquet(pendingDirs: _*)
+      .select(cols.toIndexedSeq: _*)
+      .as[EncodedBlock](Encoders.product[EncodedBlock])
+    val run = base.version + 1
+    // replay the table's recorded zdict probe decision, like every batch run
+    val effOpts =
+      if (base.zdictEnabled.contains(true))
+        opts.copy(zdictBlocks = math.max(opts.zdictBlocks, 8))
+      else opts
+    TokenCompressor(effOpts)
+      .encodeWithPlan(TokenCompressor(effOpts).decode(tail), base.plan, None)
+      .toDF()
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("part_id")
+      .parquet(ManifestIO.compactedDir(table, run).toString)
+
+    val next = base.copy(
+      version = run,
+      committedAtMillis = System.currentTimeMillis(),
+      compactedBatchId = Some(maxBatch),
+      compactedRuns = base.compactedRuns :+ run)
+    ManifestIO.write(spark, table, next)
+    // post-commit cleanup; leftovers are invisible (watermark) and swept
+    // by the next compaction if this delete dies mid-way
+    pendingDirs.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    next
   }
 }
