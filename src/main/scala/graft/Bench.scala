@@ -141,6 +141,21 @@ object Bench {
       .map(_.toDouble).getOrElse(720.0)
   private def remaining: Double = budgetSec - elapsed
 
+  /** Budget slice held back for the multi-JVM scaling_cluster section — the
+    * north rule's two-cluster-size evidence. Without it the variable-size
+    * sections before it expand into the whole budget and the cluster legs
+    * inherit scraps: 90 s kill windows and single JIT-cold reps (r5 run 1:
+    * 6 killed legs, one 0.547 sample). Earlier sections size and skip by
+    * [[spendable]]; the reservation is released when the cluster section
+    * starts. Clamped so a deliberately tiny budget still runs something.
+    */
+  private val clusterReserveSec: Double =
+    math.min(sys.props.getOrElse("graft.clusterReserveSec", "330").toDouble,
+      budgetSec * 0.45)
+  @volatile private var clusterStarted = false
+  private def spendable: Double =
+    if (clusterStarted) remaining else remaining - clusterReserveSec
+
   private def put(k: String, v: String): Unit = synchronized { fields.put(k, v); () }
 
   private def headlineJson: String = {
@@ -189,8 +204,9 @@ object Bench {
     * failure, always followed by a fresh emit.
     */
   private def section(name: String, needSec: Double)(body: => Unit): Unit = {
-    if (remaining < needSec) {
-      sectionsSkipped += f"$name (need ~${needSec}%.0fs, ${math.max(remaining, 0)}%.0fs left)"
+    if (name == "scaling_cluster") clusterStarted = true
+    if (spendable < needSec) {
+      sectionsSkipped += f"$name (need ~${needSec}%.0fs, ${math.max(spendable, 0)}%.0fs left)"
     } else {
       try { body; sectionsCompleted += name }
       catch {
@@ -318,12 +334,13 @@ object Bench {
       // JIT + page-cache warmup at every level (shared JVM => shared JIT;
       // C2 needs several full passes), discarded
       atCores(24, 2); atCores(8, 2); atCores(2, 1)
-      // reserve for the sections after this one (peak+decode+queries floor)
+      // reserve for the sections after this one (peak+decode+queries floor;
+      // spendable already holds back the cluster section's slice)
       val reserveAfter = 210.0
       var localRound = 0
       var roundCost = 0.0 // measured cost of the previous round
       while (effSamples.length < 5 && localRound < 8 &&
-        (effSamples.length < 2 || remaining - reserveAfter > roundCost * 1.2)) {
+        (effSamples.length < 2 || spendable - reserveAfter > roundCost * 1.2)) {
         localRound += 1
         val rt0 = elapsed
         val (r2, r8) =
@@ -362,7 +379,7 @@ object Bench {
     var mix: Map[String, Long] = Map.empty
     var peak: (Double, Long, Long, Long, Map[String, Long]) = null
     section("peak_local24", needSec = 30.0) {
-      val reps = if (remaining > 300) 6 else 2
+      val reps = if (spendable > 300) 6 else 2
       peak = atCores(24, reps)
       val (sec24, toks24, raw24, enc24, m) = peak
       mix = m
@@ -547,7 +564,9 @@ object Bench {
           .write.mode("overwrite").parquet(clusterFixture)
         finally stop(s)
       }
+      var legAttempt = 0
       def clusterLeg(workers: Int): Option[(Double, Long)] = {
+        legAttempt += 1
         val javaBin = s"${System.getProperty("java.home")}/bin/java"
         // SAME convergence policy per leg (min 3 reps, max 5, stop when
         // the two fastest agree within 5%): box noise only ADDS time, so
@@ -571,13 +590,18 @@ object Bench {
         // a blocking stdout read in this parent. Hard timeout as a
         // backstop, clamped to the remaining global budget.
         val tmp = sys.props("java.io.tmpdir")
-        val outFile = new java.io.File(tmp, s"graft_cluster_$workers.out")
-        val errFile = new java.io.File(tmp, s"graft_cluster_$workers.err")
+        // per-attempt filenames: overwriting per-worker files destroyed the
+        // diagnostics of every killed leg except the last
+        val outFile = new java.io.File(tmp, s"graft_cluster_${workers}_a$legAttempt.out")
+        val errFile = new java.io.File(tmp, s"graft_cluster_${workers}_a$legAttempt.err")
         pb.redirectOutput(ProcessBuilder.Redirect.to(outFile))
         pb.redirectError(ProcessBuilder.Redirect.to(errFile))
         try {
           val p = pb.start()
-          val waitSec = math.max(90L, math.min(20 * 60L, remaining.toLong))
+          // floor 150 s: a quiet-box leg2 is ~25 s cluster startup + ~50 s
+          // warmup + ~25 s rep; the old 90 s floor killed healthy legs
+          // whenever the section started with the budget already spent
+          val waitSec = math.max(150L, math.min(20 * 60L, remaining.toLong))
           val done = p.waitFor(waitSec, java.util.concurrent.TimeUnit.SECONDS)
           if (!done) { p.destroyForcibly(); p.waitFor(); None }
           else {
@@ -619,8 +643,13 @@ object Bench {
           put("cluster_leg_failures", clusterLegFailures.toString)
         }
       }
+      // first-sample persistence is BOUNDED: keep retrying for one sample
+      // only while total elapsed stays within budget + 240 s — an unbounded
+      // retry loop ran a killed-leg round 800 s past the budget (r5 run 1)
+      // and would eat straight into the driver's hard kill window
       while (clusterSamples.length < 5 && round < 8 &&
-        (clusterSamples.isEmpty || remaining > roundCost * 1.15 + 30)) {
+        ((clusterSamples.isEmpty && elapsed < budgetSec + 240) ||
+          (clusterSamples.nonEmpty && remaining > roundCost * 1.15 + 30))) {
         round += 1
         val rt0 = elapsed
         val legs =
