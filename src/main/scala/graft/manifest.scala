@@ -45,9 +45,12 @@ final case class Snapshot(
     // stream-batch compaction state: batches <= compactedBatchId have been
     // re-encoded into compacted/run=V dirs (one entry per compaction run)
     // and their batch dirs deleted; readers union the runs with the
-    // still-uncompacted batch tail
+    // still-uncompacted batch tail. compactedRunBytes records each run
+    // dir's on-disk size (parallel to compactedRuns) so the size-tiered
+    // merge policy never has to walk the filesystem
     compactedBatchId: Option[Long] = None,
-    compactedRuns: Seq[Int] = Nil
+    compactedRuns: Seq[Int] = Nil,
+    compactedRunBytes: Seq[Long] = Nil
 )
 
 /** Iceberg-style append-only snapshot log over partitioned Parquet.
@@ -137,6 +140,8 @@ object ManifestIO {
     s.compactedBatchId.foreach(b => root.put("compacted_batch_id", b))
     if (s.compactedRuns.nonEmpty) {
       val ca = root.putArray("compacted_runs"); s.compactedRuns.foreach(ca.add)
+      val cb = root.putArray("compacted_run_bytes")
+      s.compactedRunBytes.foreach(cb.add)
     }
     val p = root.putObject("plan")
     val ba = p.putArray("boundaries"); s.plan.boundaries.foreach(ba.add)
@@ -203,7 +208,9 @@ object ManifestIO {
       Option(root.get("zdict_enabled")).map(_.asBoolean),
       Option(root.get("compacted_batch_id")).map(_.asLong),
       Option(root.get("compacted_runs")).toSeq
-        .flatMap(_.elements().asScala.map(_.asInt))
+        .flatMap(_.elements().asScala.map(_.asInt)),
+      Option(root.get("compacted_run_bytes")).toSeq
+        .flatMap(_.elements().asScala.map(_.asLong))
     )
   }
 }

@@ -177,8 +177,9 @@ object StreamingEncode {
     *
     * Incremental by construction: each run compacts only (previous
     * watermark, streamBatchId], so steady-state cost tracks ingest rate,
-    * not table size. Run count grows one per invocation; every run keeps
-    * the part_id dir layout, so reader-side pruning is unaffected.
+    * not table size. Every run keeps the part_id dir layout, so
+    * reader-side pruning is unaffected; the run COUNT is kept
+    * logarithmic in table size by [[mergeRuns]]'s size-tiered policy.
     *
     * @return the committed snapshot, or the current one when there is
     *         nothing to compact
@@ -210,7 +211,9 @@ object StreamingEncode {
     val pendingDirs = (minBatch to maxBatch)
       .map(b => s"$table/stream_batches/batch=$b")
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-    if (pendingDirs.isEmpty) return base
+    // nothing new to fold, but a crashed predecessor may have left the run
+    // list un-merged — the tiering pass is idempotent and cheap when level
+    if (pendingDirs.isEmpty) return mergeRuns(spark, table, base)
 
     val cols = Encoders.product[EncodedBlock].schema.fieldNames.map(col)
     val tail = spark.read
@@ -235,12 +238,76 @@ object StreamingEncode {
       version = run,
       committedAtMillis = System.currentTimeMillis(),
       compactedBatchId = Some(maxBatch),
-      compactedRuns = base.compactedRuns :+ run)
+      compactedRuns = base.compactedRuns :+ run,
+      compactedRunBytes = runSizes(fs, table, base) :+
+        dirBytes(fs, ManifestIO.compactedDir(table, run)))
     ManifestIO.write(spark, table, next)
     // post-commit cleanup; leftovers are invisible (watermark) and swept
     // by the next compaction if this delete dies mid-way
     pendingDirs.foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(d), true))
-    next
+    mergeRuns(spark, table, next)
+  }
+
+  private def dirBytes(fs: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path): Long =
+    fs.getContentSummary(p).getLength
+
+  /** Per-run on-disk sizes, from the snapshot when recorded (every commit
+    * since the field existed) or from the filesystem for older tables.
+    */
+  private def runSizes(fs: org.apache.hadoop.fs.FileSystem, table: String,
+                       snap: Snapshot): Seq[Long] =
+    if (snap.compactedRunBytes.length == snap.compactedRuns.length)
+      snap.compactedRunBytes
+    else snap.compactedRuns.map(r => dirBytes(fs, ManifestIO.compactedDir(table, r)))
+
+  /** Size-tiered run merging (LSM/Lucene-style): while the newest run has
+    * grown to at least HALF its predecessor's size, the two are folded
+    * into one — a pure block PASSTHROUGH (one shuffle of already-encoded
+    * payload bytes, re-clustered by part_id and doc_id-sorted within each
+    * part; no decode, no codec CPU). The invariant afterwards is
+    * geometric run sizes (each run >2x the next newer), so the run count
+    * — and with it every reader's union-branch count and file-listing
+    * fan-out — stays O(log table/ingest) instead of growing one per
+    * compaction forever, and each byte is rewritten O(log N) times total.
+    * Each merge is its own atomic snapshot commit; a crash leaves either
+    * an unreferenced target dir (swept) or committed-but-undeleted source
+    * dirs (orphaned by the new run list, swept likewise).
+    */
+  private def mergeRuns(spark: SparkSession, table: String,
+                        snap0: Snapshot): Snapshot = {
+    val fs = ManifestIO.fs(spark, table)
+    val cols = Encoders.product[EncodedBlock].schema.fieldNames.map(col)
+    var snap = snap0
+    var sizes = runSizes(fs, table, snap)
+    while (snap.compactedRuns.length >= 2 &&
+      sizes.last * 2 >= sizes(sizes.length - 2)) {
+      val srcRuns = snap.compactedRuns.takeRight(2)
+      val target = snap.version + 1
+      srcRuns
+        .map(r => spark.read
+          .schema(Encoders.product[EncodedBlock].schema)
+          .option("basePath", ManifestIO.compactedDir(table, r).toString)
+          .parquet(ManifestIO.compactedDir(table, r).toString)
+          .select(cols.toIndexedSeq: _*))
+        .reduce(_ unionAll _)
+        .repartition(col("part_id"))
+        .sortWithinPartitions("part_id", "first_doc_id")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("part_id")
+        .parquet(ManifestIO.compactedDir(table, target).toString)
+      val merged = dirBytes(fs, ManifestIO.compactedDir(table, target))
+      snap = snap.copy(
+        version = target,
+        committedAtMillis = System.currentTimeMillis(),
+        compactedRuns = snap.compactedRuns.dropRight(2) :+ target,
+        compactedRunBytes = sizes.dropRight(2) :+ merged)
+      ManifestIO.write(spark, table, snap)
+      srcRuns.foreach(r =>
+        fs.delete(ManifestIO.compactedDir(table, r), true))
+      sizes = snap.compactedRunBytes
+    }
+    snap
   }
 }

@@ -76,10 +76,49 @@ class CompactionSpec extends AnyFunSuite {
 
     val s2 = StreamingEncode.compact(spark, table, opts)
     assert(s2.compactedBatchId.contains(1L))
-    assert(s2.compactedRuns == s1.compactedRuns :+ s2.version)
+    // equal-size runs trip the size-tiered policy: the tail run merges
+    // with s1's run into ONE passthrough-merged run
+    assert(s2.compactedRuns.length == 1)
+    assert(s2.compactedRuns != s1.compactedRuns)
+    assert(s2.compactedRunBytes.length == 1)
     assert(!fs(table).exists(batchDir(table, 1L)))
+    assert(!fs(table).exists(ManifestIO.compactedDir(table, s1.compactedRuns.head)),
+      "merged-away source run dir must be deleted")
     val expected = batchRows(0, 500).collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
     assert(decodedMap(table) == expected)
+  }
+
+  test("size-tiered merging keeps run sizes geometric and count logarithmic") {
+    val root = Files.createTempDirectory("graft_compact4").toString
+    val table = s"$root/t"
+    val opts = EncodeOptions(numParts = 4, blockTokens = 1 << 12)
+    // one big run, then a stream of small tails: tails merge among
+    // themselves but must NOT cascade into the big run until they grow to
+    // half its size
+    StreamingEncode.appendBatch(batchRows(0, 2000), table, opts, batchId = 0L)
+    val big = StreamingEncode.compact(spark, table, opts)
+    assert(big.compactedRuns.length == 1)
+    var from = 2000L
+    var batch = 1L
+    for (_ <- 1 to 3) {
+      StreamingEncode.appendBatch(batchRows(from, from + 100), table, opts, batch)
+      StreamingEncode.compact(spark, table, opts)
+      from += 100; batch += 1
+    }
+    val snap = ManifestIO.latest(spark, table).get
+    // geometric invariant: every run > 2x the next newer one
+    val sizes = snap.compactedRunBytes
+    assert(sizes.length == snap.compactedRuns.length)
+    assert(sizes.init.zip(sizes.tail).forall { case (older, newer) => older > 2 * newer },
+      s"run sizes not geometric: $sizes")
+    assert(snap.compactedRuns.length <= 2, s"runs: ${snap.compactedRuns}")
+    assert(decodedMap(table).size == 2300)
+    // every live run dir exists, no orphans
+    val live = snap.compactedRuns.map(r => s"run=$r").toSet
+    val onDisk = fs(table)
+      .listStatus(new org.apache.hadoop.fs.Path(table, "compacted"))
+      .map(_.getPath.getName).toSet
+    assert(onDisk == live)
   }
 
   test("crash artifacts are swept: orphan run dir and leftover batch dir") {
@@ -104,7 +143,8 @@ class CompactionSpec extends AnyFunSuite {
     StreamingEncode.appendBatch(batchRows(200, 400), table, opts, batchId = 1L)
     val s2 = StreamingEncode.compact(spark, table, opts)
     assert(!fs(table).exists(batchDir(table, 0L)), "leftover dir must be swept")
-    assert(s2.compactedRuns.size == 2)
+    // the equal-size tail run size-tier-merges with s1's run
+    assert(s2.compactedRuns.size == 1)
     assert(decodedMap(table).size == 400)
   }
 }
