@@ -17,7 +17,11 @@ final case class MinhashIndexSnapshot(
     k: Int,
     bands: Int,
     versions: Seq[Int],
-    nDocs: Long
+    nDocs: Long,
+    // per-version on-disk bytes (parallel to `versions`) so size-tiered
+    // merge decisions are metadata-only; recomputed from the filesystem
+    // for snapshots written before the field existed
+    versionBytes: Seq[Long] = Nil
 )
 
 /** Persistent minhash band→bucket index for CROSS-RUN incremental
@@ -91,7 +95,9 @@ object MinhashIndex {
       root.get("k").asInt,
       root.get("bands").asInt,
       root.get("versions").elements().asScala.map(_.asInt).toSeq,
-      root.get("n_docs").asLong))
+      root.get("n_docs").asLong,
+      Option(root.get("version_bytes")).toSeq
+        .flatMap(_.elements().asScala.map(_.asLong))))
   }
 
   private def write(spark: SparkSession, table: String, s: MinhashIndexSnapshot): Unit = {
@@ -105,6 +111,9 @@ object MinhashIndex {
     root.put("bands", s.bands)
     val va = root.putArray("versions"); s.versions.foreach(va.add)
     root.put("n_docs", s.nDocs)
+    if (s.versionBytes.nonEmpty) {
+      val vb = root.putArray("version_bytes"); s.versionBytes.foreach(vb.add)
+    }
     val tmp = new Path(dir, f".v${s.version}%05d.json.tmp")
     val dst = new Path(dir, f"v${s.version}%05d.json")
     // same optimistic-concurrency law as ManifestIO.write: a version is
@@ -145,9 +154,94 @@ object MinhashIndex {
     val snap = MinhashIndexSnapshot(
       v, System.currentTimeMillis(), k, bands,
       prev.map(_.versions).getOrElse(Seq.empty) :+ v,
-      prev.map(_.nDocs).getOrElse(0L) + nNew)
+      prev.map(_.nDocs).getOrElse(0L) + nNew,
+      versionSizes(spark, table, prev) :+ dirBytes(spark, table, v))
     write(spark, table, snap)
+    mergeVersions(spark, table, snap)
+  }
+
+  private def dirBytes(spark: SparkSession, table: String, v: Int): Long =
+    fs(spark, table).getContentSummary(dataDir(table, v)).getLength
+
+  /** Per-version on-disk sizes: from the snapshot when recorded, from the
+    * filesystem for pre-field snapshots.
+    */
+  private def versionSizes(spark: SparkSession, table: String,
+                           snap: Option[MinhashIndexSnapshot]): Seq[Long] =
+    snap match {
+      case None => Nil
+      case Some(s) if s.versionBytes.length == s.versions.length => s.versionBytes
+      case Some(s) => s.versions.map(v => dirBytes(spark, table, v))
+    }
+
+  /** Size-tiered version merging (same LSM law as the encoded table's
+    * stream-run compaction, streaming.scala `mergeRuns`): while the newest
+    * version has grown to at least HALF its predecessor, fold the two into
+    * one — a pure parquet PASSTHROUGH of the two slim tables (no text, no
+    * re-hashing; signatures are already expression-identical across runs).
+    * The invariant afterwards is geometric version sizes, so the live
+    * version count — and with it every probe's union fan-out and
+    * file-listing cost — stays O(log corpus/batch) under unbounded
+    * ingest instead of one dir per commit forever.
+    *
+    * Iceberg-style safety: a merge is a LOGICAL rewrite — the merged
+    * snapshot stops referencing the source versions but their directories
+    * stay on disk, so time travel (`asOfVersion`) to any earlier snapshot
+    * keeps working until [[expire]] physically reclaims them. A crash
+    * mid-merge leaves an unreferenced target dir, swept by [[expire]].
+    */
+  private def mergeVersions(spark: SparkSession, table: String,
+                            snap0: MinhashIndexSnapshot): MinhashIndexSnapshot = {
+    var snap = snap0
+    var sizes = versionSizes(spark, table, Some(snap))
+    while (snap.versions.length >= 2 &&
+      sizes.last * 2 >= sizes(sizes.length - 2)) {
+      val src = snap.versions.takeRight(2)
+      val target = snap.version + 1
+      val d = dataDir(table, target)
+      for (sub <- Seq("buckets", "sigs")) {
+        spark.read
+          .parquet(src.map(v => new Path(dataDir(table, v), sub).toString): _*)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(new Path(d, sub).toString)
+      }
+      snap = snap.copy(
+        version = target,
+        committedAtMillis = System.currentTimeMillis(),
+        versions = snap.versions.dropRight(2) :+ target,
+        versionBytes = sizes.dropRight(2) :+ dirBytes(spark, table, target))
+      write(spark, table, snap)
+      sizes = snap.versionBytes
+    }
     snap
+  }
+
+  /** Physically reclaim everything not referenced by the LATEST snapshot:
+    * data version dirs merged away (or orphaned by a crashed merge) and
+    * the older snapshot JSONs themselves. After expire, time travel floor
+    * is the latest snapshot — `at(older)` returns None, exactly like an
+    * Iceberg expire-snapshots. Returns the number of paths deleted.
+    */
+  def expire(spark: SparkSession, table: String): Int = {
+    val f = fs(spark, table)
+    val snap = latest(spark, table).getOrElse(
+      throw new IllegalStateException(s"no index snapshot in $table"))
+    val live = snap.versions.map(v => f"v$v%05d").toSet
+    var deleted = 0
+    val dataRoot = new Path(table, "data")
+    if (f.exists(dataRoot)) {
+      f.listStatus(dataRoot).foreach { st =>
+        if (!live(st.getPath.getName)) { f.delete(st.getPath, true); deleted += 1 }
+      }
+    }
+    f.listStatus(snapshotsDir(table)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".json") &&
+        n.stripPrefix("v").stripSuffix(".json").toInt < snap.version) {
+        f.delete(st.getPath, false); deleted += 1
+      }
+    }
+    deleted
   }
 
   private def readUnion(spark: SparkSession, table: String,

@@ -139,9 +139,11 @@ class TextOpsSpec extends AnyFunSuite {
     assert(p1.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 100L)))
     assert(p1.head.getAs[Double]("est_jaccard") > 0.5)
     assert(p1.head.getAs[Long]("dropped_pairs") == 0L)
-    // v2: append the probed batch; a later batch dedups against BOTH
+    // v2: append the probed batch; similar-size versions TIER-MERGE into
+    // v3 (logical rewrite — v1/v2 dirs stay for time travel until expire).
+    // A later batch dedups against BOTH original commits.
     val s2 = MinhashIndex.commit(newBatch, table)
-    assert(s2.version == 2 && s2.nDocs == 4 && s2.versions == Seq(1, 2))
+    assert(s2.version == 3 && s2.nDocs == 4 && s2.versions == Seq(3))
     val p2 = MinhashIndex.incrementalPairs(
       docsDf(Seq((200L, base + " tail"))), table, minJaccard = 0.5).collect()
     assert(p2.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 200L), (100L, 200L)))
@@ -184,5 +186,51 @@ class TextOpsSpec extends AnyFunSuite {
       maxBucket = 64, auditDropped = true).collect()
     assert(open.map(_.getLong(0)).toSet == (1L to 8L).toSet)
     assert(open.forall(_.getAs[Long]("dropped_pairs") == 0L))
+  }
+
+  test("minhash index: tier-merged version count stays logarithmic; expire reclaims") {
+    val table = java.nio.file.Files.createTempDirectory("graft_idx_tier").toString
+    // 6 equal-size commits: one dir per commit would be 6 live versions;
+    // size-tiered merging must keep the live list well below that while
+    // dedup results stay identical to the unmerged union
+    var nextId = 0L
+    def batch() = {
+      val docs = (1 to 4).map { _ =>
+        nextId += 1
+        (nextId, (1 to 50).map(i => s"w${nextId}x$i").mkString(" "))
+      }
+      docsDf(docs)
+    }
+    var snap = MinhashIndex.commit(batch(), table)
+    (1 to 5).foreach(_ => snap = MinhashIndex.commit(batch(), table))
+    assert(snap.nDocs == 24)
+    assert(snap.versions.length <= 3, s"live versions ${snap.versions}")
+    assert(snap.versionBytes.length == snap.versions.length)
+    // geometric invariant: each older version >2x the next newer
+    snap.versionBytes.sliding(2).foreach {
+      case Seq(a, b) => assert(b * 2 < a, s"sizes not geometric: ${snap.versionBytes}")
+      case _ => ()
+    }
+    // merged data is the full corpus: a replayed committed doc still pairs
+    val probeDoc = docsDf(Seq((900L, (1 to 50).map(i => s"w7x$i").mkString(" "))))
+    val pairs = MinhashIndex.incrementalPairs(probeDoc, table, minJaccard = 0.8).collect()
+    assert(pairs.map(_.getLong(0)).toSet == Set(7L))
+    // pre-merge snapshots stay readable until expire (Iceberg semantics) ...
+    val preMerge = MinhashIndex.at(spark, table, 1)
+    assert(preMerge.isDefined)
+    assert(MinhashIndex.buckets(spark, table, preMerge.get).count() > 0)
+    // ... and expire physically reclaims merged-away dirs + old snapshots
+    val deleted = MinhashIndex.expire(spark, table)
+    assert(deleted > 0)
+    assert(MinhashIndex.at(spark, table, 1).isEmpty) // time-travel floor moved
+    val after = MinhashIndex.latest(spark, table).get
+    assert(after.version == snap.version && after.nDocs == 24)
+    // the live index still answers probes identically after reclamation
+    val pairs2 = MinhashIndex.incrementalPairs(probeDoc, table, minJaccard = 0.8).collect()
+    assert(pairs2.map(_.getLong(0)).toSet == Set(7L))
+    // only live version dirs remain on disk
+    val dataRoot = new java.io.File(table, "data")
+    val liveDirs = dataRoot.listFiles().map(_.getName).toSet
+    assert(liveDirs == after.versions.map(v => f"v$v%05d").toSet)
   }
 }
