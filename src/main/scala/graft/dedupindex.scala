@@ -46,7 +46,7 @@ final case class MinhashIndexSnapshot(
   * candidate pairs that survive the band join (a broadcast-hash join of
   * the small candidate set against the sig table: no corpus shuffle).
   *
-  * Scale shape of [[incrementalPairs]] (PLANS.md §5b):
+  * Scale shape of [[incrementalPairs]] (PLANS.md §8):
   *  - new batch: one text scan → codegen signatures (persisted, reused by
   *    the band explode, the audit count, and the join);
   *  - committed side: one column-pruned scan of the buckets table for the

@@ -109,6 +109,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"Scala UDF reappeared in the encode route stage:\n$p")
   }
 
+  test("incrementalPairs: committed sigs scanned once in place, cand side broadcast") {
+    val table = java.nio.file.Files.createTempDirectory("graft_idx_plan").toString
+    MinhashIndex.commit(docsDf, table)
+    val newBatch = docsDf.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val p = planOf(MinhashIndex.incrementalPairs(newBatch, table, minJaccard = 0.5))
+    // no straggler path, no all-pairs fallback
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup must never go all-pairs:\n$p")
+    // the corpus-sized sig table joins against a BROADCAST candidate set —
+    // scanned in place exactly once, never shuffled (the explicit
+    // broadcast(cand) in incrementalPairs)
+    assert(p.contains("BroadcastExchange"), s"cand side must broadcast:\n$p")
+    assert("/sigs".r.findAllIn(p).length == 1,
+      s"committed sig table must be scanned exactly once:\n$p")
+    // the committed side contributes only the two slim index tables —
+    // the committed docs' text is never re-signed (zero-recompute at the
+    // plan level): every FileScan in the plan reads index paths
+    val scans = "Location: [^\\n]+".r.findAllIn(p).toSeq
+    assert(scans.nonEmpty && scans.forall(l =>
+        l.contains("/buckets") || l.contains("/sigs")),
+      s"plan must scan only the index tables:\n${scans.mkString("\n")}")
+    TextOps.SigCache.clear()
+  }
+
   test("bruteForceTopK broadcasts the query side; corpus scanned once") {
     import spark.implicits._
     val vecs = (0L until 32L)
