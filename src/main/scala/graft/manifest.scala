@@ -94,6 +94,32 @@ object ManifestIO {
     }
   }
 
+  /** Expire old snapshot metadata, Iceberg's expire-snapshots analog for
+    * this table's growth axis: the DATA dirs are already bounded (parts
+    * rewrite in place with stale-file cleanup; compaction deletes folded
+    * batch dirs and merged runs), but `snapshots/` gains one JSON per
+    * commit forever — at one streaming commit a minute that is ~0.5M
+    * files/year of metadata and an O(versions) listing in [[latest]].
+    * Deletes every snapshot JSON older than the newest `keepLast`
+    * (metadata only — no data file is touched, since live snapshots
+    * reference the same dirs); time travel floor moves accordingly
+    * (`at(expired)` returns None). Returns the number of files deleted.
+    */
+  def expireSnapshots(spark: SparkSession, table: String, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, table)
+    val dir = snapshotsDir(table)
+    if (!f.exists(dir)) return 0
+    val versioned = f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
+      .sorted
+    val expired = versioned.dropRight(keepLast)
+    expired.foreach(v => f.delete(new Path(dir, f"v$v%05d.json"), false))
+    expired.length
+  }
+
   /** Time travel: load a specific committed snapshot version. */
   def at(spark: SparkSession, table: String, version: Int): Option[Snapshot] = {
     val f = fs(spark, table)

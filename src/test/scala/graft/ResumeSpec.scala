@@ -168,4 +168,35 @@ class ResumeSpec extends AnyFunSuite {
     // the committed snapshot is untouched
     assert(ManifestIO.latest(spark, dir).get.committedAtMillis == snap.committedAtMillis)
   }
+
+  test("expireSnapshots reclaims old metadata; latest table state untouched") {
+    val input = Fixtures.tokenTable(spark, 100L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_expire").toString
+    val s1 = ResumableEncodeJob.run(input, dir, EncodeOptions(numParts = 2))
+    // stack three more metadata versions on top (same data, new snapshots)
+    var cur = s1
+    (1 to 3).foreach { i =>
+      cur = cur.copy(version = cur.version + 1,
+        committedAtMillis = cur.committedAtMillis + i)
+      ManifestIO.write(spark, dir, cur)
+    }
+    val before = TokenCompressor(EncodeOptions(numParts = 2))
+      .decode(ResumableEncodeJob.readBlocks(spark, dir)).collect()
+    assert(ManifestIO.at(spark, dir, s1.version).isDefined)
+    // keep the newest 2: everything older goes (the encode run itself may
+    // commit several part-batch snapshots), data files are untouched
+    val nJsons = new java.io.File(dir, "snapshots").listFiles()
+      .count(f => f.getName.startsWith("v") && f.getName.endsWith(".json"))
+    assert(ManifestIO.expireSnapshots(spark, dir, keepLast = 2) == nJsons - 2)
+    assert(ManifestIO.at(spark, dir, s1.version).isEmpty) // floor moved
+    assert(ManifestIO.at(spark, dir, cur.version).isDefined)
+    assert(ManifestIO.latest(spark, dir).get.version == cur.version)
+    val after = TokenCompressor(EncodeOptions(numParts = 2))
+      .decode(ResumableEncodeJob.readBlocks(spark, dir)).collect()
+    assert(after.map(_.doc_id).sorted.sameElements(before.map(_.doc_id).sorted))
+    // idempotent + keeps at least the latest
+    assert(ManifestIO.expireSnapshots(spark, dir, keepLast = 2) == 0)
+    intercept[IllegalArgumentException](
+      ManifestIO.expireSnapshots(spark, dir, keepLast = 0))
+  }
 }
