@@ -255,6 +255,43 @@ object Checksum {
     }
     st.digest()
   }
+
+  /** Sub-block integrity granule for sliced range reads: the block checksum
+    * needs the FULL token stream, so a sliced decode used to return
+    * unverified tokens. Per-interval digests close that gap — a slice is
+    * extended to interval boundaries (≤ 2 x 4 Ki extra tokens), each covered
+    * interval verified, then trimmed.
+    */
+  val SliceDigestInterval = 4096
+
+  /** XXH64 of one flat-stream range (no row structure — pure token-stream
+    * integrity, independent of row boundaries).
+    */
+  def digestRange(flat: Array[Int], off: Int, len: Int): Long = {
+    val st = new Xxh64IntStream()
+    var i = 0
+    while (i < len) { st.update(flat(off + i)); i += 1 }
+    st.digest()
+  }
+
+  /** One digest per [[SliceDigestInterval]]-token interval of the block's
+    * flat stream (last interval may be short). ~8 bytes per 16 KiB of raw
+    * tokens — negligible next to the payload.
+    */
+  def sliceDigests(flat: Array[Int]): Array[Long] = {
+    val I = SliceDigestInterval
+    val n = flat.length
+    val out = new Array[Long]((n + I - 1) / I)
+    var iv = 0
+    var off = 0
+    while (off < n) {
+      val len = math.min(I, n - off)
+      out(iv) = digestRange(flat, off, len)
+      iv += 1
+      off += len
+    }
+    out
+  }
 }
 
 /** One hash dispatcher across the whole implemented algorithm family — the

@@ -276,6 +276,9 @@ object RleCodec extends TokenCodec {
     while (i < n) {
       val v = unzigzag(readVarint(bytes, cur))
       val run = readVarint(bytes, cur).toInt
+      if (run <= 0 || i + run > n)
+        throw new InvalidCodecException(
+          s"rle: malformed run length $run at token $i of $n")
       java.util.Arrays.fill(out, i, i + run, v)
       i += run
     }
@@ -295,6 +298,12 @@ object RleCodec extends TokenCodec {
     while (i < until) {
       val v = unzigzag(readVarint(bytes, cur))
       val run = readVarint(bytes, cur).toInt
+      // a zero/negative run in a corrupt payload would pin i forever (the
+      // full decode at least terminates at the byte cursor) — fail loud
+      // like the other decoders instead of hanging the executor
+      if (run <= 0 || i + run > n)
+        throw new InvalidCodecException(
+          s"rle: malformed run length $run at token $i of $n")
       val end = i + run
       if (end > from) {
         val s = math.max(i, from)
@@ -461,8 +470,19 @@ object DictCodec extends TableCodec {
   * deterministic (frequency-then-value tie-breaks) for resumability.
   *
   * Layout: [nSymbols varint][(left varint, right varint) x nSymbols]
-  *         [mergedLen varint][DictCodec bytes of merged stream].
+  *         [body], where body =
+  *         [mergedLen varint][nSync varint]
+  *         [(mergedIdx delta varint, outTok delta varint) x nSync]
+  *         [DictCodec bytes of merged stream].
   * Symbol s (0-based) is referenced in streams/pairs as SymbolBase + s.
+  *
+  * The sync table records (merged position, output token position) every
+  * ~[[SyncInterval]] output tokens, so range reads resume mid-stream:
+  * [[decodeSlice]]/[[decodeWithSlice]] binary-search the last sync at or
+  * before the slice, dict-decode only the merged codes between that sync
+  * and the slice end (the dict body is random-access), and expand with
+  * clipping — O(result + SyncInterval) work instead of a full-block decode,
+  * closing the last sequential-codec fallback in the engine's range reads.
   */
 object FsstCodec extends TableCodec {
   val id = 5; val name = "fsst"
@@ -470,6 +490,7 @@ object FsstCodec extends TableCodec {
   val MaxRounds = 6
   val PairsPerRound = 96
   val MinPairFreq = 4
+  val SyncInterval = 4096
 
   /** Trained pair-merge symbol table: symbol s = (left(s), right(s)),
     * operands are tokens or earlier symbols (SymbolBase + idx).
@@ -500,7 +521,7 @@ object FsstCodec extends TableCodec {
   def encode(tokens: Array[Int]): Array[Byte] = {
     val (table, merged) = trainAndMerge(tokens)
     val t = tableBytes(table)
-    val b = bodyOf(merged)
+    val b = bodyOf(table, merged)
     val out = new Array[Byte](t.length + b.length)
     System.arraycopy(t, 0, out, 0, t.length)
     System.arraycopy(b, 0, out, t.length, b.length)
@@ -539,10 +560,56 @@ object FsstCodec extends TableCodec {
     FsstTable(left, right)
   }
 
-  private def bodyOf(merged: Array[Int]): Array[Byte] = {
+  /** Per-symbol expanded token counts; symbols only reference EARLIER
+    * symbols (training invariant), so one forward pass suffices.
+    */
+  private def lengthsOf(t: FsstTable): Array[Int] = {
+    val len = new Array[Int](t.size)
+    var s = 0
+    while (s < t.size) {
+      def l(x: Int): Int =
+        if (x < SymbolBase) 1
+        else {
+          val r = x - SymbolBase
+          require(r < s, s"fsst: symbol $s references later symbol $r")
+          len(r)
+        }
+      len(s) = l(t.left(s)) + l(t.right(s))
+      s += 1
+    }
+    len
+  }
+
+  private def bodyOf(t: FsstTable, merged: Array[Int]): Array[Byte] = {
+    // sync table: (merged idx, output token idx) whenever ~SyncInterval
+    // output tokens have accumulated since the last entry; (0, 0) implicit
+    val symLen = lengthsOf(t)
+    val syncM = new scala.collection.mutable.ArrayBuffer[Int]()
+    val syncOut = new scala.collection.mutable.ArrayBuffer[Int]()
+    var outPos = 0
+    var lastSync = 0
+    var i = 0
+    while (i < merged.length) {
+      if (outPos - lastSync >= SyncInterval) {
+        syncM += i; syncOut += outPos; lastSync = outPos
+      }
+      val v = merged(i)
+      outPos += (if (v >= SymbolBase) symLen(v - SymbolBase) else 1)
+      i += 1
+    }
     val dictB = DictCodec.encode(merged)
-    val out = new Array[Byte](10 + dictB.length)
+    val out = new Array[Byte](20 + 10 * syncM.length + dictB.length)
     var pos = writeVarint(out, 0, merged.length.toLong)
+    pos = writeVarint(out, pos, syncM.length.toLong)
+    var k = 0
+    var pm = 0
+    var po = 0
+    while (k < syncM.length) {
+      pos = writeVarint(out, pos, (syncM(k) - pm).toLong)
+      pos = writeVarint(out, pos, (syncOut(k) - po).toLong)
+      pm = syncM(k); po = syncOut(k)
+      k += 1
+    }
     System.arraycopy(dictB, 0, out, pos, dictB.length)
     java.util.Arrays.copyOf(out, pos + dictB.length)
   }
@@ -580,16 +647,102 @@ object FsstCodec extends TableCodec {
       stream = java.util.Arrays.copyOf(out, o)
       passes += 1
     }
-    Some(bodyOf(stream))
+    Some(bodyOf(t, stream))
+  }
+
+  /** Parsed body header: merged length, absolute sync tables, and the
+    * offset of the embedded DictCodec bytes.
+    */
+  private final class BodyHeader(val mergedLen: Int, val syncM: Array[Int],
+                                 val syncOut: Array[Int], val dictOff: Int)
+
+  private def parseBody(body: Array[Byte], start: Int): BodyHeader = {
+    val cur = new Cursor(start)
+    val mergedLen = readVarint(body, cur).toInt
+    val nSync = readVarint(body, cur).toInt
+    val sm = new Array[Int](nSync)
+    val so = new Array[Int](nSync)
+    var pm = 0
+    var po = 0
+    var k = 0
+    while (k < nSync) {
+      pm += readVarint(body, cur).toInt
+      po += readVarint(body, cur).toInt
+      sm(k) = pm; so(k) = po
+      k += 1
+    }
+    new BodyHeader(mergedLen, sm, so, cur.pos)
   }
 
   def decodeWith(tableB: Array[Byte], body: Array[Byte], n: Int): Array[Int] = {
     val t = tableFromBytes(tableB)
-    val cur = new Cursor(0)
-    val mergedLen = readVarint(body, cur).toInt
-    val dictB = java.util.Arrays.copyOfRange(body, cur.pos, body.length)
-    val merged = DictCodec.decode(dictB, mergedLen)
+    val h = parseBody(body, 0)
+    val dictB = java.util.Arrays.copyOfRange(body, h.dictOff, body.length)
+    val merged = DictCodec.decode(dictB, h.mergedLen)
     expand(t.left, t.right, merged, n)
+  }
+
+  override def decodeWithSlice(tableB: Array[Byte], body: Array[Byte], n: Int,
+                               from: Int, until: Int): Option[Array[Int]] =
+    Some(sliceBody(tableFromBytes(tableB), body, 0, n, from, until))
+
+  /** Sync-point slice: last sync ≤ `from` bounds where expansion starts,
+    * first sync ≥ `until` bounds which merged codes are dict-decoded at
+    * all; symbols straddling the slice edges expand with clipping.
+    */
+  private def sliceBody(t: FsstTable, bytes: Array[Byte], bodyStart: Int,
+                        n: Int, from: Int, until: Int): Array[Int] = {
+    val out = new Array[Int](until - from)
+    if (until == from) return out
+    val h = parseBody(bytes, bodyStart)
+    // start: greatest sync with outTok <= from ((0,0) is implicit)
+    var lo = 0
+    var hi = h.syncOut.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (h.syncOut(mid) <= from) lo = mid + 1 else hi = mid
+    }
+    val m0 = if (lo == 0) 0 else h.syncM(lo - 1)
+    val out0 = if (lo == 0) 0 else h.syncOut(lo - 1)
+    // end bound: first sync with outTok >= until caps the merged span
+    var lo2 = lo
+    hi = h.syncOut.length
+    while (lo2 < hi) {
+      val mid = (lo2 + hi) >>> 1
+      if (h.syncOut(mid) < until) lo2 = mid + 1 else hi = mid
+    }
+    val mEnd = if (lo2 < h.syncM.length) h.syncM(lo2) else h.mergedLen
+    val dictB = java.util.Arrays.copyOfRange(bytes, h.dictOff, bytes.length)
+    val codes = DictCodec.decodeSlice(dictB, h.mergedLen, m0, mEnd).get
+    val symLen = lengthsOf(t)
+    val stack = new Array[Int](64)
+    var outPos = out0
+    var ci = 0
+    while (outPos < until && ci < codes.length) {
+      val v = codes(ci)
+      val len = if (v >= SymbolBase) symLen(v - SymbolBase) else 1
+      if (outPos + len <= from) outPos += len // fully before the slice: skip
+      else {
+        var top = 0
+        stack(top) = v; top += 1
+        while (top > 0) {
+          top -= 1
+          val x = stack(top)
+          if (x >= SymbolBase) {
+            val s = x - SymbolBase
+            stack(top) = t.right(s); top += 1
+            stack(top) = t.left(s); top += 1
+          } else {
+            if (outPos >= from && outPos < until) out(outPos - from) = x
+            outPos += 1
+          }
+        }
+      }
+      ci += 1
+    }
+    require(outPos >= until,
+      s"fsst: slice [$from,$until) of $n exhausted codes at $outPos")
+    out
   }
 
   def reusable(t: FsstTable, s: BlockStats): Boolean =
@@ -692,10 +845,16 @@ object FsstCodec extends TableCodec {
   def decode(bytes: Array[Byte], n: Int): Array[Int] = {
     val cur = new Cursor(0)
     val t = tableFrom(bytes, cur)
-    val mergedLen = readVarint(bytes, cur).toInt
-    val body = java.util.Arrays.copyOfRange(bytes, cur.pos, bytes.length)
-    val merged = DictCodec.decode(body, mergedLen)
+    val h = parseBody(bytes, cur.pos)
+    val body = java.util.Arrays.copyOfRange(bytes, h.dictOff, bytes.length)
+    val merged = DictCodec.decode(body, h.mergedLen)
     expand(t.left, t.right, merged, n)
+  }
+
+  override def decodeSlice(bytes: Array[Byte], n: Int, from: Int, until: Int): Option[Array[Int]] = {
+    val cur = new Cursor(0)
+    val t = tableFrom(bytes, cur)
+    Some(sliceBody(t, bytes, cur.pos, n, from, until))
   }
 
   /** Iterative symbol expansion with an explicit stack (symbols reference

@@ -44,7 +44,9 @@ final case class MinhashIndexSnapshot(
   * Buckets and sigs are split so the bucket probe — the per-batch hot path
   * — scans only the 24-byte rows; full signatures are fetched ONLY for the
   * candidate pairs that survive the band join (a broadcast-hash join of
-  * the small candidate set against the sig table: no corpus shuffle).
+  * the small candidate set against the sig table when a provable row bound
+  * says it fits — size-gated, see [[incrementalPairs]]'s broadcastCandCap —
+  * else an AQE-planned join: no corpus shuffle either way).
   *
   * Scale shape of [[incrementalPairs]] (PLANS.md §8):
   *  - new batch: one text scan → codegen signatures (persisted, reused by
@@ -269,6 +271,12 @@ object MinhashIndex {
     * @param maxBucket   committed buckets larger than this (degenerate
     *                    boilerplate) are excluded before the join;
     *                    auditDropped surfaces the excluded candidate mass
+    * @param broadcastCandCap force-broadcast the candidate set into the
+    *                    sig join only while its PROVABLE row bound
+    *                    (new banded rows x maxBucket) stays at or below
+    *                    this; above it the hint is dropped so AQE/sort-merge
+    *                    sizes the join from runtime stats — a billion-doc
+    *                    ingest batch must not OOM-force a multi-GB broadcast
     */
   def incrementalPairs(
       newDocs: DataFrame,
@@ -276,7 +284,8 @@ object MinhashIndex {
       minJaccard: Double = 0.7,
       maxBucket: Int = 64,
       auditDropped: Boolean = false,
-      asOfVersion: Option[Int] = None
+      asOfVersion: Option[Int] = None,
+      broadcastCandCap: Long = 4L << 20
   ): DataFrame = {
     val spark = newDocs.sparkSession
     val snap = asOfVersion
@@ -285,8 +294,8 @@ object MinhashIndex {
       .orElse(latest(spark, table))
       .getOrElse(throw new IllegalStateException(s"no index snapshot in $table"))
 
-    val newBanded = TextOps.bandedOf(TextOps.minhashSigs(newDocs, snap.k),
-        snap.k, snap.bands)
+    val newSigs = TextOps.minhashSigs(newDocs, snap.k)
+    val newBanded = TextOps.bandedOf(newSigs, snap.k, snap.bands)
       .select(col("band"), col("bucket"),
         col("doc_id").as("new_id"), col("sig").as("new_sig"))
     val idxBuckets = buckets(spark, table, snap)
@@ -327,12 +336,21 @@ object MinhashIndex {
       .select(col("doc_id").as("doc_a"), col("new_id").as("doc_b"), col("new_sig"))
       .dropDuplicates("doc_a", "doc_b")
 
-    // full signatures only for the surviving candidates: the small cand
-    // side broadcasts, so the corpus-sized sig table is scanned in place,
-    // never shuffled
+    // full signatures only for the surviving candidates: when the candidate
+    // set is PROVABLY small the hint broadcasts it so the corpus-sized sig
+    // table is scanned in place, never shuffled. The proof is the bound
+    // |cand| <= new banded rows x maxBucket (every probed bucket holds at
+    // most maxBucket committed docs after the oversized gate); the banded
+    // count is one cheap aggregate over the persisted signature stage
+    // (SigCache), never the text. Above the cap the hint is DROPPED —
+    // cand grows with the ingest batch, and a forced broadcast of a
+    // batch-scaled set would OOM the executors at billion-doc batches;
+    // AQE then picks broadcast vs sort-merge from the set's runtime size.
+    val candBound = newSigs.count() * snap.bands * maxBucket.toLong
+    val candSide = if (candBound <= broadcastCandCap) broadcast(cand) else cand
     val idxSigs = sigs(spark, table, snap)
       .select(col("doc_id").as("doc_a"), col("sig").as("old_sig"))
-    val pairs = idxSigs.join(broadcast(cand), Seq("doc_a"))
+    val pairs = idxSigs.join(candSide, Seq("doc_a"))
       .withColumn("est_jaccard",
         expr("""cast(size(filter(zip_with(old_sig, new_sig, (x, y) -> x = y),
                |b -> b)) as double) / size(old_sig)""".stripMargin.replace("\n", " ")))

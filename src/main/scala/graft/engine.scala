@@ -506,6 +506,7 @@ object BlockEncoder {
       symtab = symtab,
       zdict = zdictCol,
       checksum = checksum,
+      subsums = Checksum.sliceDigests(flat),
       enc_micros = micros
     )
   }
@@ -514,11 +515,15 @@ object BlockEncoder {
     * (UTF-8 byte order) leave this block, and for sliceable codecs only
     * the needed tokens are materialized — fixed-stride codecs
     * (plain/bitpack/for/dict) touch O(result) tokens, rle skips ahead over
-    * run headers (O(runs)), delta scans its prefix but never the tail.
-    * Only fsst (symbol expansion has no positional index) falls back to
-    * full decode + row slice. Checksum verification requires the full
-    * token stream, so sliced decodes skip it (the Parquet page CRC still
-    * guards the payload bytes at rest).
+    * run headers (O(runs)), delta scans its prefix but never the tail, and
+    * fsst resumes from its in-body sync points (O(result + 4 Ki)).
+    * Sliced decodes are VERIFIED too: the slice is extended to the block's
+    * 4 Ki-token digest intervals (see [[Checksum.sliceDigests]]), every
+    * covered interval's XXH64 is checked, then the extension is trimmed —
+    * ≤ 2 extra intervals per block buys the same decode-bug detection the
+    * full-block checksum gives full decodes. Blocks written before the
+    * `subsums` column existed decode unverified (Parquet page CRC still
+    * guards the at-rest bytes).
     */
   def decodeBlockRange(b: EncodedBlock, fromDoc: String, toDoc: String): Iterator[TokenRow] = {
     // doc_ids are sorted within a block (rows arrive part_id,doc_id-sorted)
@@ -544,18 +549,40 @@ object BlockEncoder {
 
     val codecBytes = Zframe.unframe(b.payload, b.outer, b.zdict)
     val codec = CodecRegistry.byName(b.codec)
+    val nAll = b.n_tokens.toInt
+    // extend the slice to digest-interval boundaries so every returned
+    // token sits in a fully-verified interval; legacy blocks (no subsums)
+    // decode the requested span unverified
+    val I = Checksum.SliceDigestInterval
+    val canVerify =
+      b.subsums != null && b.subsums.length == (nAll + I - 1) / I && tokUntil > tokFrom
+    val vFrom = if (canVerify) (tokFrom / I) * I else tokFrom
+    val vUntil = if (canVerify) math.min(nAll, ((tokUntil + I - 1) / I) * I) else tokUntil
     val sliced: Option[Array[Int]] =
       if (b.symtab != null && b.symtab.nonEmpty) codec match {
         case tc: TableCodec =>
-          tc.decodeWithSlice(b.symtab, codecBytes, b.n_tokens.toInt, tokFrom, tokUntil)
+          tc.decodeWithSlice(b.symtab, codecBytes, nAll, vFrom, vUntil)
         case _ => None
       }
-      else codec.decodeSlice(codecBytes, b.n_tokens.toInt, tokFrom, tokUntil)
+      else codec.decodeSlice(codecBytes, nAll, vFrom, vUntil)
 
     sliced match {
       case Some(flat) =>
+        if (canVerify) {
+          var iv = vFrom / I
+          var p = 0
+          while (p < flat.length) {
+            val len = math.min(I, flat.length - p)
+            val d = Checksum.digestRange(flat, p, len)
+            require(d == b.subsums(iv),
+              s"slice digest mismatch in block ${b.block_id} (part ${b.part_id}), " +
+                s"interval $iv: stored ${b.subsums(iv)}, decoded $d")
+            iv += 1
+            p += len
+          }
+        }
         val out = new Array[TokenRow](end - start)
-        var pos = 0
+        var pos = tokFrom - vFrom
         var r = start
         while (r < end) {
           val n = b.n_toks(r)
@@ -566,8 +593,8 @@ object BlockEncoder {
         }
         out.iterator
       case None =>
-        // sequential codec: the FULL token stream is decoded anyway, so the
-        // checksum is free to verify — only sliced decodes skip it
+        // no slice support: the FULL token stream is decoded anyway, so the
+        // block checksum verifies everything returned
         decodeBlock(b, verify = true).slice(start, end)
     }
   }

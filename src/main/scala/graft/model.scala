@@ -50,6 +50,10 @@ final case class EncodedBlock(
     symtab: Array[Byte], // reusable codec symbol table ([] = self-contained)
     zdict: Array[Byte], // shared zstd dictionary for outer="zstdd" ([] = none)
     checksum: Long, // XXH64(seed=42) over the canonical block bytes
+    // XXH64 per 4 Ki-token interval of the flat stream, so SLICED range
+    // reads verify what they return (the block checksum needs the full
+    // stream); null/empty = legacy block, sliced reads skip verification
+    subsums: Array[Long],
     enc_micros: Long
 )
 

@@ -35,7 +35,7 @@ object RangeReader {
     val cand = candidateParts(snap.plan, fromDoc, toDoc)
     val parts = cand.filter(snap.committed)
     // a stream-only table has no batch data/ dir at all — its blocks live
-    // in compacted runs + the stream-batch tail (read via StreamingEncode)
+    // in compacted runs + the committed stream-batch tail, both unioned in
     val dataDir = ManifestIO.dataDir(table)
     val batch =
       if (ManifestIO.fs(spark, table).exists(dataDir))
@@ -51,10 +51,30 @@ object RangeReader {
     // Column order is pinned per branch before the positional union
     // (partitioned reads append part_id last)
     val cols = Encoders.product[EncodedBlock].schema.fieldNames.map(col)
-    val all = snap.compactedRuns.foldLeft(batch.select(cols.toIndexedSeq: _*)) { (acc, run) =>
+    val withRuns = snap.compactedRuns.foldLeft(batch.select(cols.toIndexedSeq: _*)) { (acc, run) =>
       acc.unionAll(spark.read
         .schema(Encoders.product[EncodedBlock].schema)
         .parquet(ManifestIO.compactedDir(table, run).toString)
+        .where(col("part_id").isin(cand: _*))
+        .select(cols.toIndexedSeq: _*))
+    }
+    // the committed stream-batch TAIL (batches past the compaction
+    // watermark): without it a mid-ingest table silently returned
+    // incomplete ranges that StreamingEncode.readDecoded does return.
+    // Batch dirs are snapshot-derived (commit-then-visible law — a bare
+    // glob would pick up a crashed foreachBatch attempt) and unpartitioned,
+    // so part_id pruning falls to parquet column zone maps; the tail is
+    // bounded by ingest-since-last-compaction, not table size.
+    val fs = ManifestIO.fs(spark, table)
+    val tailDirs =
+      (snap.compactedBatchId.map(_ + 1).getOrElse(0L) to
+        snap.streamBatchId.getOrElse(-1L))
+        .map(b => s"$table/stream_batches/batch=$b")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val all = tailDirs.foldLeft(withRuns) { (acc, dir) =>
+      acc.unionAll(spark.read
+        .schema(Encoders.product[EncodedBlock].schema)
+        .parquet(dir)
         .where(col("part_id").isin(cand: _*))
         .select(cols.toIndexedSeq: _*))
     }

@@ -203,10 +203,19 @@ object StreamingEncode {
         .filterNot(st => live(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
     }
-    (0L until minBatch)
-      .map(b => new org.apache.hadoop.fs.Path(s"$table/stream_batches/batch=$b"))
-      .filter(fs.exists)
-      .foreach(d => fs.delete(d, true))
+    // swept-batch cleanup lists the stream_batches directory ONCE and
+    // deletes entries below the watermark — a per-historical-id exists()
+    // probe would grow O(total batches ever ingested) forever (at one
+    // batch/minute, ~0.5M probes per compaction after a year)
+    val batchesRoot = new org.apache.hadoop.fs.Path(table, "stream_batches")
+    if (fs.exists(batchesRoot)) {
+      fs.listStatus(batchesRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch=") &&
+          n.stripPrefix("batch=").toLongOption.exists(_ < minBatch))
+          fs.delete(st.getPath, true)
+      }
+    }
 
     val pendingDirs = (minBatch to maxBatch)
       .map(b => s"$table/stream_batches/batch=$b")

@@ -59,6 +59,19 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("rle: malformed zero-length run fails loud instead of spinning") {
+    // hand-built hostile payload: value zigzag(5)=10, run length 0 — a
+    // corrupt stream must raise InvalidCodecException, not hang the
+    // executor (decodeSlice's skip-ahead advanced by run and would spin)
+    val hostile = Array[Byte](10, 0)
+    intercept[InvalidCodecException](RleCodec.decode(hostile, 4))
+    intercept[InvalidCodecException](RleCodec.decodeSlice(hostile, 4, 1, 3))
+    // run overrunning the declared token count is equally malformed
+    val overrun = RleCodec.encode(Array.fill(8)(7)) // one run of 8
+    intercept[InvalidCodecException](RleCodec.decode(overrun, 4))
+    intercept[InvalidCodecException](RleCodec.decodeSlice(overrun, 4, 0, 4))
+  }
+
   test("registry dispatch is closed-world (InvalidCodecException)") {
     intercept[InvalidCodecException](CodecRegistry.byName("nope"))
     intercept[InvalidCodecException](CodecRegistry.byId(99))
@@ -114,7 +127,8 @@ class CodecSpec extends AnyFunSuite {
       Array.tabulate(5000)(i => i * 7 + rng.nextInt(5)) // near-monotonic (delta)
     )
     val codecs: Seq[TokenCodec] =
-      Seq(PlainCodec, BitPackCodec, ForCodec, DictCodec, RleCodec, DeltaCodec)
+      Seq(PlainCodec, BitPackCodec, ForCodec, DictCodec, RleCodec, DeltaCodec,
+        FsstCodec)
     for (tokens <- shapes; c <- codecs if c.applicable(Analyzer.stats(tokens))) {
       if (c != BitPackCodec || tokens.forall(_ >= 0)) {
         val bytes = c.encode(tokens)
@@ -141,9 +155,45 @@ class CodecSpec extends AnyFunSuite {
     val body = DictCodec.encodeWith(dict, toks).get
     val sl = DictCodec.decodeWithSlice(tb, body, toks.length, 100, 300)
     assert(sl.get.toSeq == toks.slice(100, 300).toSeq)
-    // fsst (symbol expansion, no positional index) is the one decliner
+    // fsst split path: the sync table lets the table-reuse body slice too
     val ft = FsstCodec.train(toks)
-    assert(FsstCodec.decodeWithSlice(FsstCodec.tableBytes(ft),
-      FsstCodec.encodeWith(ft, toks).get, toks.length, 0, 10).isEmpty)
+    val ftb = FsstCodec.tableBytes(ft)
+    val fbody = FsstCodec.encodeWith(ft, toks).get
+    val ffull = FsstCodec.decodeWith(ftb, fbody, toks.length)
+    assert(ffull.toSeq == toks.toSeq)
+    (0 until 20).foreach { _ =>
+      val from = rng.nextInt(toks.length)
+      val until = from + rng.nextInt(toks.length - from) + 1
+      val fsl = FsstCodec.decodeWithSlice(ftb, fbody, toks.length, from, until)
+      assert(fsl.get.toSeq == toks.slice(from, until).toSeq, s"fsst [$from,$until)")
+    }
+  }
+
+  test("fsst sync points: large block slices without full decode, bit-exact") {
+    // > several sync intervals of merge-friendly data so the sync table is
+    // exercised (repeat pairs merge heavily; interval = 4096 output tokens)
+    val rng = new scala.util.Random(57)
+    val motifs = Array.tabulate(8)(m => Array.tabulate(16)(i => 100 + m * 31 + i))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (out.length < 40000) {
+      out ++= motifs(rng.nextInt(motifs.length))
+      if (rng.nextInt(5) == 0) out += rng.nextInt(1000) // noise breaks runs
+    }
+    val toks = out.toArray
+    val bytes = FsstCodec.encode(toks)
+    val full = FsstCodec.decode(bytes, toks.length)
+    assert(full.toSeq == toks.toSeq)
+    // slices across sync boundaries, including deep-in-block point reads
+    Seq((0, 10), (4090, 4200), (20000, 20001), (toks.length - 5, toks.length),
+      (8191, 8193), (12288, 16384)).foreach { case (f, u) =>
+      val sl = FsstCodec.decodeSlice(bytes, toks.length, f, u)
+      assert(sl.isDefined && sl.get.toSeq == toks.slice(f, u).toSeq, s"[$f,$u)")
+    }
+    (0 until 30).foreach { _ =>
+      val f = rng.nextInt(toks.length)
+      val u = f + rng.nextInt(toks.length - f) + 1
+      assert(FsstCodec.decodeSlice(bytes, toks.length, f, u).get.toSeq ==
+        toks.slice(f, u).toSeq, s"[$f,$u)")
+    }
   }
 }

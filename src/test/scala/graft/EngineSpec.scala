@@ -122,6 +122,42 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("checksum mismatch"))
   }
 
+  test("SLICED reads verify sub-block digests (payload corruption is caught)") {
+    // high-entropy tokens with the outer frame OFF, so a flipped payload
+    // byte reaches the codec as silently-wrong bits (a zstd frame would
+    // fail structurally; the digest must catch the case where decode
+    // "succeeds" with wrong tokens). bitpack slices at fixed stride.
+    val rng = new scala.util.Random(91)
+    val rows = (0 until 64).map { i =>
+      val toks = Array.fill(256)(rng.nextInt(1 << 30))
+      TokenRow(f"doc$i%04d", toks, toks.length, "s")
+    }.toArray
+    val b = BlockEncoder.encodeBlock(0, 0L, rows,
+      EncodeOptions(codecPolicy = "bitpack", zstdLevel = 0, blockTokens = 1 << 20))
+    assert(b.outer == "none" && b.codec == "bitpack")
+    assert(b.subsums.length == ((b.n_tokens + 4095) / 4096).toInt)
+    // clean sliced read: correct and verified
+    val clean = BlockEncoder.decodeBlockRange(b, "doc0010", "doc0011").toArray
+    assert(clean.map(_.doc_id).toSeq == Seq("doc0010", "doc0011"))
+    assert(clean(0).tokens.sameElements(rows(10).tokens))
+    // corrupt one payload byte in the middle of the sliced region: the
+    // full-block checksum can't run on a slice — pre-subsums this returned
+    // wrong tokens silently; now the interval digest trips
+    val corrupted = b.payload.clone()
+    // flip the byte carrying a token INSIDE the doc being read (bitpack
+    // layout: [width:u8][packed LSB-first] — token t starts at bit t*w)
+    val w = b.payload(0) & 0xff
+    val t0 = (rows.length / 2) * 256 + 128
+    val off = 1 + (t0.toLong * w / 8).toInt
+    corrupted(off) = (corrupted(off) ^ 0x2a).toByte
+    val bad = b.copy(payload = corrupted)
+    val mid = rows(rows.length / 2).doc_id
+    val e = intercept[Exception] {
+      BlockEncoder.decodeBlockRange(bad, mid, mid).toArray
+    }
+    assert(e.getMessage.contains("slice digest mismatch"), e.getMessage)
+  }
+
   test("every codec appears on the mixed fixture (per-block independence)") {
     import spark.implicits._
     val input = Fixtures.tokenTable(spark, NDocs)

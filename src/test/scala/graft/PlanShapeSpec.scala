@@ -134,6 +134,32 @@ class PlanShapeSpec extends AnyFunSuite {
     TextOps.SigCache.clear()
   }
 
+  test("incrementalPairs: cand broadcast hint is size-gated by the provable bound") {
+    val table = java.nio.file.Files.createTempDirectory("graft_idx_gate").toString
+    MinhashIndex.commit(docsDf, table)
+    val newBatch = docsDf.select((col("doc_id") + 2000L).as("doc_id"), col("text"))
+    // static planning with the size-based broadcast rule OFF, so the sig
+    // join's strategy reads exactly the hint's presence: BroadcastHashJoin
+    // iff the gate kept the hint, SortMergeJoin iff it dropped it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val under = planOf(MinhashIndex.incrementalPairs(newBatch, table, minJaccard = 0.5))
+      assert("BroadcastHashJoin \\[doc_a".r.findFirstIn(under).isDefined,
+        s"under the cap the sig join must stay a forced broadcast:\n$under")
+      // a batch whose bound exceeds the cap must NOT force the broadcast —
+      // the executors' memory cannot hold a batch-scaled candidate set
+      val over = planOf(MinhashIndex.incrementalPairs(
+        newBatch, table, minJaccard = 0.5, broadcastCandCap = 0L))
+      assert("BroadcastHashJoin \\[doc_a".r.findFirstIn(over).isEmpty &&
+        "SortMergeJoin \\[doc_a".r.findFirstIn(over).isDefined,
+        s"above the cap the hint must be dropped (AQE/SMJ decides):\n$over")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      TextOps.SigCache.clear()
+    }
+  }
+
   test("bruteForceTopK broadcasts the query side; corpus scanned once") {
     import spark.implicits._
     val vecs = (0L until 32L)

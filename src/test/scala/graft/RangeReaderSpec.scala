@@ -73,4 +73,35 @@ class RangeReaderSpec extends AnyFunSuite {
       assert(got == want, s"policy $policy")
     }
   }
+
+  test("range reads include the committed stream-batch tail (mid-ingest table)") {
+    import org.apache.spark.sql.Encoders
+    val root = Files.createTempDirectory("graft_tail").toString
+    val table = s"$root/t"
+    val opts = EncodeOptions(numParts = 4)
+    val wave1 = Fixtures.tokenTable(spark, 300L)
+    StreamingEncode.appendBatch(wave1, table, opts, batchId = 0L)
+    val ids = wave1.collect().map(_.doc_id).sorted
+
+    // mid-ingest, nothing compacted: the tail is the ONLY data — a point
+    // lookup and a range read must still see it (pre-fix they returned
+    // empty while StreamingEncode.readDecoded returned the rows)
+    val one = RangeReader.lookup(spark, table, ids(10)).collect()
+    assert(one.length == 1 && one.head.doc_id == ids(10))
+    val want1 = ids.filter(id => id >= ids(10) && id <= ids(40)).toSeq
+    val got1 = RangeReader.readRange(spark, table, ids(10), ids(40))
+      .collect().map(_.doc_id).sorted.toSeq
+    assert(got1 == want1)
+
+    // after compaction plus a NEW uncompacted batch, a spanning read sees
+    // compacted runs and the fresh tail together
+    StreamingEncode.compact(spark, table, opts)
+    val wave2 = spark.range(300, 500)
+      .mapPartitions(_.map(i => Fixtures.row(42L, i)))(Encoders.product[TokenRow])
+    StreamingEncode.appendBatch(wave2, table, opts, batchId = 1L)
+    val allIds = (ids ++ wave2.collect().map(_.doc_id)).sorted
+    val got2 = RangeReader.readRange(spark, table, allIds.head, allIds.last)
+      .collect().map(_.doc_id).sorted.toSeq
+    assert(got2 == allIds.toSeq)
+  }
 }
