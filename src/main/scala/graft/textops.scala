@@ -195,14 +195,20 @@ object TextOps {
   private[graft] object SigCache {
     private val Keep = 4
     private val recent = new java.util.ArrayDeque[DataFrame]()
+    // an evicted entry may belong to a SparkSession stopped since it was
+    // cached (one process, successive sessions — e.g. a bench run);
+    // unpersist on a dead session throws, and the eviction must not take
+    // the LIVE caller down with it
+    private def safeUnpersist(df: DataFrame): Unit =
+      try { df.unpersist(false); () } catch { case _: Throwable => () }
     def persist(df: DataFrame): DataFrame = synchronized {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       recent.addLast(p)
-      while (recent.size > Keep) recent.removeFirst().unpersist(false)
+      while (recent.size > Keep) safeUnpersist(recent.removeFirst())
       p
     }
     def clear(): Unit = synchronized {
-      while (!recent.isEmpty) recent.removeFirst().unpersist(false)
+      while (!recent.isEmpty) safeUnpersist(recent.removeFirst())
     }
   }
 

@@ -61,7 +61,41 @@ else:
         bad.append(f"BENCH.md claims {claimed} queries, SparkEntry.oracleSql has {oracle_n}")
     if claimed != bench_n:
         bad.append(f"BENCH.md claims {claimed} queries, BENCH_LOCAL.json query map has {bench_n}")
+# BASELINE.md citation gate (round-5 verdict item 6): every number the
+# "Measured (see BENCH.md / BENCH_LOCAL.json)" column cites must EXIST in
+# the cited artifact and match it — round 5 shipped a BASELINE.md pointing
+# at a live file that had been clobbered by a gutted driver run (cluster
+# fields absent), and only a curated copy saved the evidence. The pointer
+# is now enforced mechanically.
+bl = open(root / "BASELINE.md").read()
+baseline_checks = [
+    (r"([\d.]+) \(local\[2\]\)", "encode_mtok_s_local2"),
+    (r"/ ([\d.]+) \(local\[8\]\)", "encode_mtok_s_local8"),
+    (r"([\d.]+) \(local\[24\] box peak", "encode_mtok_s_local24"),
+    (r"multi-JVM: ([\d.]+) \(2 workers\)", "encode_mtok_s_cluster2"),
+    (r"/ ([\d.]+) \(8 workers\)", "encode_mtok_s_cluster8"),
+    (r"\*\*([\d.]+) multi-JVM local-cluster 2→8 workers\*\*",
+     "scaling_efficiency_local_cluster"),
+    (r"min-based ([\d.]+)\)", "scaling_efficiency_local_cluster_minbased"),
+    (r"local threads 2→8: ([\d.]+) median", "scaling_efficiency"),
+    (r"local threads 2→8: [\d.]+ median / ([\d.]+) min-based",
+     "scaling_efficiency_minbased"),
+    (r"([\d.]+)× overall \(codec mix", "compression_ratio"),
+    (r"\*\*([\d.]+)×\*\* with the shared zstd dictionary",
+     "compression_ratio_zdict"),
+]
+for pat, key in baseline_checks:
+    m = re.search(pat, bl)
+    if not m:
+        bad.append(f"BASELINE.md citation pattern not found: {pat}")
+    elif key not in d:
+        bad.append(f"{key}: cited in BASELINE.md but ABSENT from the cited "
+                   "BENCH_LOCAL.json (clobbered by a partial run?)")
+    elif abs(float(m.group(1)) - float(d[key])) > 1e-9:
+        bad.append(f"{key}: BASELINE.md cites {m.group(1)}, "
+                   f"BENCH_LOCAL.json says {d[key]}")
 if bad:
-    print("STALE BENCH.md:\n  " + "\n  ".join(bad)); sys.exit(1)
+    print("STALE BENCH.md/BASELINE.md:\n  " + "\n  ".join(bad)); sys.exit(1)
 print(f"BENCH.md matches BENCH_LOCAL.json ({len(checks)} fields, "
-      f"{oracle_n} queries)")
+      f"{oracle_n} queries); BASELINE.md citations verified "
+      f"({len(baseline_checks)} fields)")
