@@ -213,6 +213,29 @@ object SparkEntry {
         RangeReader.readRange(s, tmp, "0000000100-00", "0000000400-99"))
         .orderBy("doc_id")
     }),
+    "enc_range_read_fsst" -> ((s, dir) => {
+      // the fsst sync-table slice path (round 6) under the oracle: a
+      // pinned-fsst table's pruned range read decodes via in-body sync
+      // points + per-interval digest verification instead of full blocks
+      val tmp = java.nio.file.Files.createTempDirectory("graft_range_qf").toString
+      val input = TokenTables.fromLineitem(s, dir)
+      ResumableEncodeJob.run(input, tmp,
+        EncodeOptions(numParts = 8, codecPolicy = "fsst"))
+      TokenTables.digest(
+        RangeReader.readRange(s, tmp, "0000000200-00", "0000000600-99"))
+        .orderBy("doc_id")
+    }),
+    "stream_tail_read" -> ((s, dir) => {
+      // mid-ingest visibility (round 6): a committed stream batch NOT yet
+      // compacted must be readable by the range reader — pre-fix this
+      // returned empty while readDecoded returned the rows
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tail_q").toString
+      val input = TokenTables.fromLineitem(s, dir)
+      StreamingEncode.appendBatch(input, tmp, EncodeOptions(numParts = 8), batchId = 0L)
+      TokenTables.digest(
+        RangeReader.readRange(s, tmp, "0000000100-00", "0000000400-99"))
+        .orderBy("doc_id")
+    }),
     "enc_block_metrics" -> ((s, dir) => {
       // totals are closed-form from lineitem (8 tokens/row, 4B/token + 4B
       // length prefix), so the whole-pipeline accounting is oracle-checked
@@ -1002,6 +1025,14 @@ object SparkEntry {
         """SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b
           |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_a""".stripMargin,
       "enc_range_read" ->
+        s"""SELECT * FROM (${TokenTables.lineitemDigestOracle}) d
+           |WHERE doc_id BETWEEN '0000000100-00' AND '0000000400-99'
+           |ORDER BY doc_id""".stripMargin,
+      "enc_range_read_fsst" ->
+        s"""SELECT * FROM (${TokenTables.lineitemDigestOracle}) d
+           |WHERE doc_id BETWEEN '0000000200-00' AND '0000000600-99'
+           |ORDER BY doc_id""".stripMargin,
+      "stream_tail_read" ->
         s"""SELECT * FROM (${TokenTables.lineitemDigestOracle}) d
            |WHERE doc_id BETWEEN '0000000100-00' AND '0000000400-99'
            |ORDER BY doc_id""".stripMargin,
