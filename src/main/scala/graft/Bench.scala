@@ -402,6 +402,13 @@ object Bench {
             nDocs = math.max(24000L, nDocs / 2)
             put("fixture_downsized", "true")
           }
+          // a FILTERED re-run must measure on the SAME fixture the
+          // preloaded record used: merging a best-of throughput or
+          // overwriting ratio/accounting fields across different job
+          // sizes would silently mix incomparable measurements
+          if (sectionFilter.nonEmpty)
+            Option(fields.get("fixture_docs")).flatMap(_.toLongOption)
+              .filter(_ > 0).foreach(nDocs = _)
         } finally stop(s)
       }
       // materialize the deterministic fixture once (identical input for
