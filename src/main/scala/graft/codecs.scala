@@ -475,6 +475,10 @@ object DictCodec extends TableCodec {
   *         [(mergedIdx delta varint, outTok delta varint) x nSync]
   *         [DictCodec bytes of merged stream].
   * Symbol s (0-based) is referenced in streams/pairs as SymbolBase + s.
+  * Bodies written BEFORE the sync table existed ([mergedLen][DictCodec
+  * bytes]) are still decoded: [[parseBody]] detects the legacy layout
+  * structurally (byte-exact dict-length equation + sync invariants) and
+  * falls back — persisted fsst blocks from earlier rounds stay readable.
   *
   * The sync table records (merged position, output token position) every
   * ~[[SyncInterval]] output tokens, so range reads resume mid-stream:
@@ -656,27 +660,85 @@ object FsstCodec extends TableCodec {
   private final class BodyHeader(val mergedLen: Int, val syncM: Array[Int],
                                  val syncOut: Array[Int], val dictOff: Int)
 
-  private def parseBody(body: Array[Byte], start: Int): BodyHeader = {
-    val cur = new Cursor(start)
-    val mergedLen = readVarint(body, cur).toInt
-    val nSync = readVarint(body, cur).toInt
-    val sm = new Array[Int](nSync)
-    val so = new Array[Int](nSync)
-    var pm = 0
-    var po = 0
-    var k = 0
-    while (k < nSync) {
-      pm += readVarint(body, cur).toInt
-      po += readVarint(body, cur).toInt
-      sm(k) = pm; so(k) = po
-      k += 1
-    }
-    new BodyHeader(mergedLen, sm, so, cur.pos)
-  }
+  /** Parse the body header at `start`, accepting BOTH the current layout
+    * ([mergedLen][nSync][sync deltas][dict]) and the PRE-sync-table legacy
+    * layout ([mergedLen][dict], written before the sync table was inserted
+    * under the unchanged codec name) — legacy-persisted fsst blocks must
+    * keep decoding (ADVICE r6). Discrimination is structural and
+    * byte-exact: a layout is accepted only when its embedded DictCodec
+    * stream of exactly mergedLen codes ends exactly at the body's last
+    * byte, and (current layout) the sync table obeys its writer's
+    * invariants — nSync ≤ n/SyncInterval, merged indexes strictly
+    * increasing below mergedLen, output indexes spaced ≥ SyncInterval
+    * below n. A legacy body misread as current would have to satisfy all
+    * of those AND the byte-length equation simultaneously; the current
+    * layout wins that (never-observed) double fit, being what this writer
+    * emits. Any FUTURE body reshape must bump the codec name (fsst2)
+    * instead of reusing this detector.
+    */
+  private def parseBody(body: Array[Byte], start: Int, n: Int): BodyHeader =
+    parseCurrent(body, start, n).orElse(parseLegacy(body, start)).getOrElse(
+      throw new InvalidCodecException(
+        s"fsst: body at offset $start matches neither the sync-table nor the legacy layout"))
+
+  private def parseCurrent(body: Array[Byte], start: Int, n: Int): Option[BodyHeader] =
+    try {
+      val cur = new Cursor(start)
+      val mergedLen = readVarint(body, cur).toInt
+      // empty blocks legitimately carry mergedLen == 0 (n == 0)
+      if (mergedLen < 0 || mergedLen > n) return None
+      val nSync = readVarint(body, cur).toInt
+      if (nSync < 0 || nSync > n / SyncInterval) return None
+      val sm = new Array[Int](nSync)
+      val so = new Array[Int](nSync)
+      var pm = 0
+      var po = 0
+      var k = 0
+      while (k < nSync) {
+        val dm = readVarint(body, cur).toInt
+        val dOut = readVarint(body, cur).toInt
+        if (dm < 1 || dOut < SyncInterval) return None
+        pm += dm; po += dOut
+        if (pm >= mergedLen || po >= n) return None
+        sm(k) = pm; so(k) = po
+        k += 1
+      }
+      if (dictFits(body, cur.pos, mergedLen))
+        Some(new BodyHeader(mergedLen, sm, so, cur.pos))
+      else None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  private def parseLegacy(body: Array[Byte], start: Int): Option[BodyHeader] =
+    try {
+      val cur = new Cursor(start)
+      val mergedLen = readVarint(body, cur).toInt
+      if (mergedLen >= 0 && dictFits(body, cur.pos, mergedLen))
+        Some(new BodyHeader(mergedLen,
+          Array.emptyIntArray, Array.emptyIntArray, cur.pos))
+      else None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** Byte-exact structural check that `off` begins a DictCodec stream of
+    * exactly `mergedLen` codes that ends exactly at the body's last byte:
+    * [dictSize][dictSize varints][width:u8][packedSize(mergedLen, width)].
+    * O(dictSize) varint skips — the same table bytes the decode re-parses
+    * right after, so at most table-parse cost is doubled.
+    */
+  private def dictFits(body: Array[Byte], off: Int, mergedLen: Int): Boolean =
+    try {
+      val cur = new Cursor(off)
+      val dictSize = readVarint(body, cur).toInt
+      if (dictSize < 0 || dictSize > DictCodec.MaxDict) return false
+      var i = 0
+      while (i < dictSize) { readVarint(body, cur); i += 1 } // first + deltas
+      if (cur.pos >= body.length) return false
+      val w = body(cur.pos) & 0xff
+      w <= 32 && cur.pos + 1 + packedSize(mergedLen, w) == body.length
+    } catch { case _: ArrayIndexOutOfBoundsException => false }
 
   def decodeWith(tableB: Array[Byte], body: Array[Byte], n: Int): Array[Int] = {
     val t = tableFromBytes(tableB)
-    val h = parseBody(body, 0)
+    val h = parseBody(body, 0, n)
     val dictB = java.util.Arrays.copyOfRange(body, h.dictOff, body.length)
     val merged = DictCodec.decode(dictB, h.mergedLen)
     expand(t.left, t.right, merged, n)
@@ -694,7 +756,7 @@ object FsstCodec extends TableCodec {
                         n: Int, from: Int, until: Int): Array[Int] = {
     val out = new Array[Int](until - from)
     if (until == from) return out
-    val h = parseBody(bytes, bodyStart)
+    val h = parseBody(bytes, bodyStart, n)
     // start: greatest sync with outTok <= from ((0,0) is implicit)
     var lo = 0
     var hi = h.syncOut.length
@@ -845,7 +907,7 @@ object FsstCodec extends TableCodec {
   def decode(bytes: Array[Byte], n: Int): Array[Int] = {
     val cur = new Cursor(0)
     val t = tableFrom(bytes, cur)
-    val h = parseBody(bytes, cur.pos)
+    val h = parseBody(bytes, cur.pos, n)
     val body = java.util.Arrays.copyOfRange(bytes, h.dictOff, bytes.length)
     val merged = DictCodec.decode(body, h.mergedLen)
     expand(t.left, t.right, merged, n)

@@ -45,8 +45,12 @@ final case class MinhashIndexSnapshot(
   * — scans only the 24-byte rows; full signatures are fetched ONLY for the
   * candidate pairs that survive the band join (a broadcast-hash join of
   * the small candidate set against the sig table when a provable row bound
-  * says it fits — size-gated, see [[incrementalPairs]]'s broadcastCandCap —
-  * else an AQE-planned join: no corpus shuffle either way).
+  * says it fits — size-gated, see [[incrementalPairs]]'s broadcastCandCap,
+  * and under it the corpus-sized sig table is scanned in place, never
+  * shuffled. Above the cap AQE plans the join from runtime stats: it may
+  * still pick broadcast, but if it chooses sort-merge the sig table IS
+  * shuffled once — the price of not OOMing executors on a batch-scaled
+  * candidate set).
   *
   * Scale shape of [[incrementalPairs]] (PLANS.md §8):
   *  - new batch: one text scan → codegen signatures (persisted, reused by

@@ -75,6 +75,31 @@ object ManifestIO {
   def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Stream-batch dirs with batch id in [minBatch, maxBatch], from ONE
+    * `stream_batches/` listing. `appendBatch` accepts arbitrary —
+    * possibly sparse or time-derived — batch ids, so the per-id
+    * `fs.exists` probe over the full id range this replaces was unbounded
+    * in the id GAP, not the batch count (ADVICE r6). Sorted by id for a
+    * deterministic union order downstream.
+    */
+  def streamBatchDirs(spark: SparkSession, table: String,
+                      minBatch: Long, maxBatch: Long): Seq[String] = {
+    if (minBatch > maxBatch) return Seq.empty
+    val f = fs(spark, table)
+    val root = new Path(table, "stream_batches")
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).toSeq
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch="))
+          n.stripPrefix("batch=").toLongOption
+            .filter(b => b >= minBatch && b <= maxBatch)
+            .map(b => (b, st.getPath.toString))
+        else None
+      }
+      .sortBy(_._1).map(_._2)
+  }
+
   def latest(spark: SparkSession, table: String): Option[Snapshot] = {
     val f = fs(spark, table)
     val dir = snapshotsDir(table)

@@ -61,16 +61,16 @@ object RangeReader {
     // the committed stream-batch TAIL (batches past the compaction
     // watermark): without it a mid-ingest table silently returned
     // incomplete ranges that StreamingEncode.readDecoded does return.
-    // Batch dirs are snapshot-derived (commit-then-visible law — a bare
-    // glob would pick up a crashed foreachBatch attempt) and unpartitioned,
-    // so part_id pruning falls to parquet column zone maps; the tail is
-    // bounded by ingest-since-last-compaction, not table size.
-    val fs = ManifestIO.fs(spark, table)
-    val tailDirs =
-      (snap.compactedBatchId.map(_ + 1).getOrElse(0L) to
-        snap.streamBatchId.getOrElse(-1L))
-        .map(b => s"$table/stream_batches/batch=$b")
-        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    // Batch dirs are snapshot-bounded via ONE directory listing (the
+    // (watermark, streamBatchId] filter keeps the commit-then-visible law
+    // — a bare glob would pick up a crashed foreachBatch attempt; a
+    // per-id exists() probe was unbounded for sparse ids) and
+    // unpartitioned, so part_id pruning falls to parquet column zone
+    // maps; the tail is bounded by ingest-since-last-compaction, not
+    // table size.
+    val tailDirs = ManifestIO.streamBatchDirs(spark, table,
+      snap.compactedBatchId.map(_ + 1).getOrElse(0L),
+      snap.streamBatchId.getOrElse(-1L))
     val all = tailDirs.foldLeft(withRuns) { (acc, dir) =>
       acc.unionAll(spark.read
         .schema(Encoders.product[EncodedBlock].schema)

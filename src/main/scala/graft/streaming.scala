@@ -127,12 +127,11 @@ object StreamingEncode {
       .getOrElse(throw new IllegalStateException(s"no snapshot in $table"))
     val maxBatch = snap.streamBatchId.getOrElse(-1L)
     val minBatch = snap.compactedBatchId.map(_ + 1).getOrElse(0L)
-    val fs = ManifestIO.fs(spark, table)
     val runDirs = snap.compactedRuns
       .map(r => ManifestIO.compactedDir(table, r).toString)
-    val batchDirs = (minBatch to maxBatch)
-      .map(b => s"$table/stream_batches/batch=$b")
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    // one stream_batches listing, id-range filtered (a per-id exists()
+    // probe over minBatch..maxBatch is unbounded for sparse batch ids)
+    val batchDirs = ManifestIO.streamBatchDirs(spark, table, minBatch, maxBatch)
     // one scan per dir with an explicit basePath: a single multi-path scan
     // would run Hive-style partition inference across `run=V` / `batch=B`
     // parents and reject the mix as conflicting structures; per-dir reads
@@ -217,9 +216,7 @@ object StreamingEncode {
       }
     }
 
-    val pendingDirs = (minBatch to maxBatch)
-      .map(b => s"$table/stream_batches/batch=$b")
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val pendingDirs = ManifestIO.streamBatchDirs(spark, table, minBatch, maxBatch)
     // nothing new to fold, but a crashed predecessor may have left the run
     // list un-merged — the tiering pass is idempotent and cheap when level
     if (pendingDirs.isEmpty) return mergeRuns(spark, table, base)

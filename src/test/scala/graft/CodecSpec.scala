@@ -196,4 +196,48 @@ class CodecSpec extends AnyFunSuite {
         toks.slice(f, u).toSeq, s"[$f,$u)")
     }
   }
+
+  test("fsst legacy (pre-sync-table) bodies still decode, full and sliced") {
+    // Blocks persisted before the sync table was inserted carry
+    // body = [mergedLen][DictCodec bytes] under the SAME codec name; the
+    // structural detector in parseBody must decode them (ADVICE r6).
+    import Bits._
+    val rng = new scala.util.Random(91)
+    val motifs = Array.tabulate(8)(m => Array.tabulate(16)(i => 100 + m * 31 + i))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (out.length < 30000) {
+      out ++= motifs(rng.nextInt(motifs.length))
+      if (rng.nextInt(5) == 0) out += rng.nextInt(1000)
+    }
+    val toks = out.toArray
+    val t = FsstCodec.train(toks)
+    val tb = FsstCodec.tableBytes(t)
+    val v2 = FsstCodec.encodeWith(t, toks).get
+    // strip the sync table: [mergedLen][nSync][2*nSync deltas][dict] ->
+    // [mergedLen][dict], reconstructing the pre-r6 wire layout exactly
+    val cur = new Cursor(0)
+    val mergedLen = readVarint(v2, cur)
+    val nSync = readVarint(v2, cur).toInt
+    assert(nSync > 0, "fixture must exercise the sync table")
+    var k = 0
+    while (k < 2 * nSync) { readVarint(v2, cur); k += 1 }
+    val head = new Array[Byte](10)
+    val headLen = writeVarint(head, 0, mergedLen)
+    val legacy = java.util.Arrays.copyOf(head, headLen) ++
+      java.util.Arrays.copyOfRange(v2, cur.pos, v2.length)
+    // split path (table column + body column), full + sliced
+    assert(FsstCodec.decodeWith(tb, legacy, toks.length).toSeq == toks.toSeq)
+    Seq((0, 10), (4090, 4200), (20000, 20001), (toks.length - 5, toks.length))
+      .foreach { case (f, u) =>
+        val sl = FsstCodec.decodeWithSlice(tb, legacy, toks.length, f, u)
+        assert(sl.get.toSeq == toks.slice(f, u).toSeq, s"legacy [$f,$u)")
+      }
+    // inline path (standalone encode layout = table ++ body)
+    val inlineLegacy = tb ++ legacy
+    assert(FsstCodec.decode(inlineLegacy, toks.length).toSeq == toks.toSeq)
+    assert(FsstCodec.decodeSlice(inlineLegacy, toks.length, 5000, 5100).get.toSeq ==
+      toks.slice(5000, 5100).toSeq)
+    // and the current layout still decodes identically after the change
+    assert(FsstCodec.decodeWith(tb, v2, toks.length).toSeq == toks.toSeq)
+  }
 }

@@ -103,5 +103,22 @@ class RangeReaderSpec extends AnyFunSuite {
     val got2 = RangeReader.readRange(spark, table, allIds.head, allIds.last)
       .collect().map(_.doc_id).sorted.toSeq
     assert(got2 == allIds.toSeq)
+
+    // SPARSE batch ids (appendBatch accepts arbitrary, e.g. time-derived,
+    // ids): tail discovery must come from one directory listing — the old
+    // per-id exists() probe over (watermark, streamBatchId] would scan
+    // ~5 billion candidate ids here and never finish (ADVICE r6)
+    val wave3 = spark.range(500, 600)
+      .mapPartitions(_.map(i => Fixtures.row(42L, i)))(Encoders.product[TokenRow])
+    StreamingEncode.appendBatch(wave3, table, opts, batchId = 5000000000L)
+    val allIds3 = (allIds ++ wave3.collect().map(_.doc_id)).sorted
+    val got3 = RangeReader.readRange(spark, table, allIds3.head, allIds3.last)
+      .collect().map(_.doc_id).sorted.toSeq
+    assert(got3 == allIds3.toSeq)
+    // compaction's pending-batch discovery takes the same listed path
+    StreamingEncode.compact(spark, table, opts)
+    val got4 = RangeReader.readRange(spark, table, allIds3.head, allIds3.last)
+      .collect().map(_.doc_id).sorted.toSeq
+    assert(got4 == allIds3.toSeq)
   }
 }
