@@ -287,6 +287,80 @@ case class NgramJaccard(left: Expression, right: Expression, n: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Executor-side kernels behind the shuffle pack/unpack expressions. */
+object PackKernels {
+  /** array<int> → FOR-packed bytes. `toIntArray` on an UnsafeArrayData is
+    * one primitive copy — no per-element boxing, unlike the former Scala
+    * UDF's catalyst→scala converter.
+    */
+  def pack(a: ArrayData): Array[Byte] = ForCodec.encode(a.toIntArray())
+
+  /** FOR-packed bytes → array<int> (n tokens), as UnsafeArrayData so the
+    * downstream deserializer copies primitives straight out.
+    */
+  def unpack(b: Array[Byte], n: Int): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(ForCodec.decode(b, n))
+}
+
+/** Map-side FOR-pack of a row's token array for the range exchange
+  * (EncodeOptions.packShuffle): ~2.5-3x fewer shuffle bytes before
+  * transport compression. Replaces the former Scala UDF (verdict r6 item
+  * 6), whose per-row catalyst→scala converter forced early Tungsten
+  * deserialization and broke the scan→route→pack codegen span — that CPU
+  * tax is what made the knob lose locally (74→61 MTok/s at 8 cores).
+  * This is one generated-code kernel call; the map stage stays a single
+  * WholeStageCodegen span (pinned by PlanShapeSpec).
+  */
+case class ForPack(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"for_pack requires array<int>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "for_pack"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PackKernels.pack(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.PackKernels.pack($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ForPack =
+    copy(child = newChild)
+}
+
+/** Reduce-side inverse of [[ForPack]]: (packed binary, n_tok) → array<int>,
+  * evaluated AFTER the exchange + within-partition sort, so the shuffle
+  * and spill machinery only ever see the packed bytes.
+  */
+case class ForUnpack(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"for_unpack requires (binary, int), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "for_unpack"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    PackKernels.unpack(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.PackKernels.unpack($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ForUnpack =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column ⇄ Expression bridge for native expressions whose state is a plan
   * object (no SQL-literal encoding, so `call_function` does not apply —
   * contrast [[NearestCell]], whose centroid matrix folds to a literal).

@@ -87,12 +87,14 @@ final case class EncodedBlock(
   * @param packShuffle  FOR-pack each row's token array to binary before the
   *                     range exchange (~2.5-3x fewer shuffle bytes before
   *                     transport compression); rows stay rows so the
-  *                     spillable shuffle/sort path is unchanged. Default
-  *                     OFF: on this no-network box the pack UDF's early
-  *                     Tungsten deserialization costs more than the bytes
-  *                     save (measured 74->61 MTok/s at 8 cores); turn on
-  *                     for clusters where the wire, not the CPU, is the
-  *                     shuffle bottleneck
+  *                     spillable shuffle/sort path is unchanged. Pack and
+  *                     unpack are codegen expressions ([[ForPack]] /
+  *                     [[ForUnpack]]) — the former Scala UDF's converter
+  *                     barrier cost 74->61 MTok/s at 8 cores locally
+  *                     (verdict r6 item 6). Default OFF: on a no-network
+  *                     box packing buys nothing; turn on for clusters
+  *                     where the wire, not the CPU, is the shuffle
+  *                     bottleneck (interleaved A/B numbers in BENCH.md)
   * @param zdictBlocks  >0 trains one shared zstd dictionary per partition
   *                     over the codec bytes of its first `zdictBlocks`
   *                     blocks, then frames subsequent blocks with it when

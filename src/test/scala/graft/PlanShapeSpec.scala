@@ -109,6 +109,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"Scala UDF reappeared in the encode route stage:\n$p")
   }
 
+  test("packShuffle pipeline: codegen pack below the exchange, unpack above") {
+    val ds = Fixtures.tokenTable(spark, 400L)
+    val opts = EncodeOptions(numParts = 4, blockTokens = 1 << 12,
+      packShuffle = true)
+    val plan = Planner.plan(ds, opts)
+    val p = planOf(TokenCompressor(opts).encodeWithPlan(ds, plan, None).toDF())
+    // still exactly one exchange, and it must carry the PACKED bytes:
+    // plans print top-down, so for_unpack (reduce side) sits ABOVE the
+    // Exchange line and for_pack (map side) BELOW it
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    val iEx = p.indexOf("Exchange")
+    val iPack = p.indexOf("for_pack")
+    val iUnpack = p.indexOf("for_unpack")
+    assert(iPack >= 0 && iUnpack >= 0, s"pack expressions missing:\n$p")
+    assert(iUnpack < iEx && iEx < iPack,
+      s"pack must run map-side and unpack reduce-side:\n$p")
+    // verdict r6 item 6: the packed path must be UDF-free — pack/unpack
+    // are native expressions inside whole-stage codegen
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("),
+      s"Scala UDF reappeared in the packed encode path:\n$p")
+  }
+
   test("incrementalPairs: committed sigs scanned once in place, cand side broadcast") {
     val table = java.nio.file.Files.createTempDirectory("graft_idx_plan").toString
     MinhashIndex.commit(docsDf, table)
