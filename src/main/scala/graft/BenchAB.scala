@@ -8,12 +8,16 @@ import org.apache.spark.sql.{SparkSession, functions => F}
   * JSON line per invocation. Run interleaved (r2 build, HEAD build, r2,
   * HEAD, ...) on an idle box so environment drift hits both sides.
   *
-  * args: fixtureParquetPath label
+  * args: fixtureParquetPath label [pack]
+  * The optional third arg `pack` turns on EncodeOptions.packShuffle, for
+  * the codegen-pack A/B (r6 verdict item 6: the knob must no longer lose
+  * locally now that pack/unpack are native expressions).
   */
 object BenchAB {
   def main(args: Array[String]): Unit = {
     val fixturePath = args(0)
     val label = args(1)
+    val pack = args.length > 2 && args(2) == "pack"
     val s = SparkSession.builder()
       .master("local[24]")
       .appName(s"graft-ab-$label")
@@ -32,7 +36,8 @@ object BenchAB {
     s.sparkContext.setLogLevel("WARN")
     try {
       import org.apache.spark.sql.Encoders
-      val opts = EncodeOptions(numParts = 128, sampleMod = 16)
+      val opts = EncodeOptions(numParts = 128, sampleMod = 16,
+        packShuffle = pack)
       val ds = s.read.parquet(fixturePath).as[TokenRow](Encoders.product[TokenRow])
       val plan = Planner.plan(ds, opts)
       val comp = TokenCompressor(opts)
