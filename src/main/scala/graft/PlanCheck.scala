@@ -27,6 +27,12 @@ object PlanCheck {
     val plan = Planner.plan(input, EncodeOptions(numParts = 8))
     show("encode")(comp.encodeWithPlan(input, plan, None).toDF())
 
+    // 1b) packed encode pipeline (packShuffle=on, the network-bound-cluster
+    // knob): for_pack must sit BELOW the exchange, for_unpack above it,
+    // both native codegen (r6 verdict item 6)
+    val compPack = TokenCompressor(EncodeOptions(numParts = 8, packShuffle = true))
+    show("encode packShuffle")(compPack.encodeWithPlan(input, plan, None).toDF())
+
     // 2) lineage agg over written blocks (payload pruning)
     val tmp = java.nio.file.Files.createTempDirectory("plancheck").toString
     comp.encodeWithPlan(input, plan, None).toDF().write
