@@ -932,8 +932,19 @@ object Bench {
         else Option(fields.get("encode_mtok_s_local2"))
           .flatMap(_.toDoubleOption).getOrElse(15.0)
       val affordableM = (remaining - 100.0) / (0.033 + 16.3 / math.max(thr2Est, 2.0))
-      val targetTokens =
-        math.min(450.0, math.max(60.0, affordableM)).toLong * 1000 * 1000
+      // a FILTERED re-run measures on the SAME job size the preloaded
+      // record used (same law as the fixture_docs pin): re-sizing per
+      // attempt wrote a fresh multi-hundred-MB fixture whose cold-cache
+      // write+warm ate the whole slice, and cluster2/cluster8 throughputs
+      // merged across job sizes would be incomparable
+      val pinnedTokens =
+        sys.props.get("graft.clusterTokens")
+          .orElse(sys.env.get("GRAFT_CLUSTER_TOKENS")).flatMap(_.toLongOption)
+          .orElse(if (sectionFilter.nonEmpty)
+            Option(fields.get("cluster_job_tokens")).flatMap(_.toLongOption)
+          else None)
+      val targetTokens = pinnedTokens.getOrElse(
+        math.min(450.0, math.max(60.0, affordableM)).toLong * 1000 * 1000)
       val clusterRepeat = math.max(1L, (targetTokens + estTokens - 1) / estTokens)
         .min(32L).toInt
       // one real fixture (distinct doc_ids, one parquet scan) — NOT a
@@ -1152,10 +1163,14 @@ object Bench {
         }
       }) {
         round += 1
-        // 2-rep rounds give better per-leg floors (min-of-reps), but only
-        // when the remaining budget comfortably covers the doubled cost
+        // multi-rep rounds give better per-leg floors (min-of-reps): a
+        // storm window that eats one rep of one leg no longer poisons the
+        // round's ratio. 3 reps/leg when the remaining budget comfortably
+        // covers them (serve-mode reps are the only per-round cost), 2
+        // when tighter, 1 as the probe/last-resort
         repsPerLeg =
-          if (costPerRep > 0 && remaining > costPerRep * 2 * 1.3 + 30) 2
+          if (costPerRep > 0 && remaining > costPerRep * 3 * 1.3 + 30) 3
+          else if (costPerRep > 0 && remaining > costPerRep * 2 * 1.3 + 30) 2
           else 1
         val rt0 = elapsed
         val legs =
