@@ -819,7 +819,7 @@ object Bench {
     // no measured throughput. The index is committed once per sf and
     // CACHED on disk (like the fixtures), so re-runs pay only the probe;
     // the probe is the per-ingest-batch hot path a 100 TB pipeline pays.
-    section("incdd", needSec = 45.0, capSec = 150.0) {
+    section("incdd", needSec = 45.0, capSec = 200.0) {
       val sfName = new java.io.File(sfDir).getName
       val idxTable = s"${sys.props("java.io.tmpdir")}/graft_bench_mhidx_x8_$sfName"
       val s = session(cpus)
@@ -855,23 +855,27 @@ object Bench {
         TextOps.SigCache.clear()
       } finally stop(s)
       // dd_incremental_scaling (r6 verdict item 7): paired 2-vs-8-core
-      // probe legs so the INDEX's scaling — band join + verify kernel —
-      // is evidenced, not just the encode job's. Same paired-round law as
-      // the encode legs (eff = thr8 / (4 x thr2), alternating order); the
-      // signature cache is cleared before every timed leg so each pays
-      // the full probe. Runs only while the section slice covers it — a
-      // missing field means the slice was spent, never a failed leg.
+      // probe legs so the INDEX's scaling — signature kernel + band join
+      // — is evidenced, not just the encode job's. The scaling legs probe
+      // the FULL x8 corpus (~40k docs, 6x the per-batch probe): the
+      // 6.7k-doc batch is latency-floor-bound (~1-2 s of scan + join +
+      // gate orchestration at ANY core count — measured t2 within 1.4x of
+      // t8), so a batch-sized leg would grade Spark's fixed cost, not the
+      // index. Same paired-round law as the encode legs (eff =
+      // thr8 / (4 x thr2), alternating order); each leg is a fresh
+      // session, so every leg pays its full signatures. Runs only while
+      // the section slice covers it — a missing field means the slice was
+      // spent, never a failed leg.
       val ddEff = scala.collection.mutable.ArrayBuffer.empty[Double]
       def probeAt(cores: Int): Double = {
         val sN = session(cores)
         try {
           val docsBase = sN.read.parquet(s"$sfDir/documents.parquet")
             .select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
-          val docs = (0 until 8).map(i => docsBase.select(
+          val probe = (0 until 8).map(i => docsBase.select(
               (F.col("doc_id") + F.lit(i * 10000000L)).as("doc_id"),
               F.concat(F.col("text"), F.lit(s" variant$i")).as("text")))
             .reduce(_ unionAll _)
-          val probe = docs.where(F.pmod(F.col("doc_id"), F.lit(6)) === 0)
           TextOps.SigCache.clear()
           val t0 = System.nanoTime()
           MinhashIndex.incrementalPairs(probe, idxTable, minJaccard = 0.7)
