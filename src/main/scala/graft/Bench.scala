@@ -1131,9 +1131,13 @@ object Bench {
         val proc = if (workers == 2) p2 else p8
         if (proc == null || !proc.isAlive) return None
         val legEst = (if (workers == 2) lastS2 else lastS8) * reps
-        // per-leg deadline: reps at last-measured cost x3 + 30 s slack (a
-        // storm-stretched leg stops serve mode rather than the whole run)
-        val by = math.min(elapsed + legEst * 3 + 30, overshootCap - 10)
+        // per-leg deadline: reps at last-measured cost x5 + 45 s slack —
+        // generous because abandoning a timed-out leg kills BOTH warm
+        // children (protocol desync) and the one-shot fallback re-pays
+        // startup + warm per leg; a storm that stretches a leg 5x is
+        // cheaper to wait out than to restart from cold. Still bounded by
+        // the overshoot cap so a hung child can't run past the kill window.
+        val by = math.min(elapsed + legEst * 5 + 45, overshootCap - 10)
         try {
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(ctlDir, s"cmd_${workers}_$k"), s"reps=$reps")
