@@ -388,6 +388,26 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     sfDirG = sfDir
+    // read the COMMITTED record's per-query costs BEFORE anything emits:
+    // the fixture section's trailing emit() rewrites BENCH_LOCAL.json with
+    // an empty query map on a fresh run, so a later read would always see
+    // {} and the measured-cost queries cap (r6 verdict item 5) would be
+    // dead on exactly the unfiltered path it exists for
+    val lastQueriesSec: Option[Double] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val q = om.readTree(java.nio.file.Files.readString(p)).get("queries")
+          if (q == null || q.size() == 0) None
+          else {
+            var sum = 0.0
+            q.properties().forEach(e => sum += e.getValue.asDouble())
+            Some(sum)
+          }
+        }
+      } catch { case _: Throwable => None }
     preloadPrevious()
     // last-ditch evidence on SIGTERM (the driver's timeout sends TERM
     // before KILL): re-emit the latest snapshot flagged killed. Spark's
@@ -477,22 +497,9 @@ object Bench {
     // verdict item 5): the committed BENCH_LOCAL.json's query map is a
     // quiet-box floor, so 2.2x its total + session startup covers the
     // storm-probe's halved-throughput scenario instead of a heuristic
-    // fraction that could truncate the rubric's primary evidence.
-    val lastQueriesSec: Option[Double] =
-      try {
-        val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
-        if (!java.nio.file.Files.exists(p)) None
-        else {
-          val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          val q = om.readTree(java.nio.file.Files.readString(p)).get("queries")
-          if (q == null || q.size() == 0) None
-          else {
-            var sum = 0.0
-            q.properties().forEach(e => sum += e.getValue.asDouble())
-            Some(sum)
-          }
-        }
-      } catch { case _: Throwable => None }
+    // fraction that could truncate the rubric's primary evidence
+    // (lastQueriesSec is read at main() entry, before any emit clobbers
+    // the committed record).
     section("queries", needSec = 45.0,
         capSec = math.max(math.max(150.0, remaining * 0.55),
           lastQueriesSec.map(_ * 2.2 + 30.0).getOrElse(0.0)),
@@ -511,9 +518,15 @@ object Bench {
           .mkString("{", ",", "}"))
         // per-query-normalized metric (advice r6): a truncated run's
         // partial "value" is not comparable to a full run's on the same
-        // field — this one is, across any query count
-        if (nQueries > 0)
-          put("query_sec_per_query", f"${totalQuerySec / nQueries}%.3f")
+        // field — this one is, across any query count. Errored queries are
+        // EXCLUDED from the normalization (their near-zero fail-fast
+        // timings would make a broken build read faster than a healthy
+        // one); they are already surfaced in queries_errs.
+        val errNames = errs.map(_._1).toSet
+        val okResults = results.filterNot { case (n, _) => errNames(n) }
+        if (okResults.nonEmpty)
+          put("query_sec_per_query",
+            f"${okResults.map(_._2).sum / okResults.length}%.3f")
       } finally stop(s3)
     }
 
@@ -822,18 +835,25 @@ object Bench {
     section("incdd", needSec = 45.0, capSec = 200.0) {
       val sfName = new java.io.File(sfDir).getName
       val idxTable = s"${sys.props("java.io.tmpdir")}/graft_bench_mhidx_x8_$sfName"
-      val s = session(cpus)
-      try {
-        // deterministic x8 corpus multiplication (id offset + a one-token
-        // text variation so copies are near- not exact dups): the sf tables
-        // top out at 5k documents, too thin to exercise the committed-side
-        // probe; the reported doc counts are the actual multiplied sizes
-        val docsBase = s.read.parquet(s"$sfDir/documents.parquet")
+      // deterministic x8 corpus multiplication (id offset + a one-token
+      // text variation so copies are near- not exact dups): the sf tables
+      // top out at 5k documents, too thin to exercise the committed-side
+      // probe; the reported doc counts are the actual multiplied sizes.
+      // ONE definition, shared by the index build, the per-batch probe,
+      // and the scaling legs — a scheme change applied to one copy would
+      // silently probe a different corpus than the index was built from.
+      def corpusX8(sN: SparkSession): org.apache.spark.sql.DataFrame = {
+        val base = sN.read.parquet(s"$sfDir/documents.parquet")
           .select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
-        val docs = (0 until 8).map(i => docsBase.select(
+        (0 until 8).map(i => base.select(
             (F.col("doc_id") + F.lit(i * 10000000L)).as("doc_id"),
             F.concat(F.col("text"), F.lit(s" variant$i")).as("text")))
           .reduce(_ unionAll _)
+      }
+      var probeSecFloor = 30.0 // measured per-batch probe, feeds the legs' gate
+      val s = session(cpus)
+      try {
+        val docs = corpusX8(s)
         // committed corpus = 5/6 of documents; probe batch = the other 1/6
         val committedDocs = docs.where(F.pmod(F.col("doc_id"), F.lit(6)) =!= 0)
         if (MinhashIndex.latest(s, idxTable).isEmpty)
@@ -852,6 +872,7 @@ object Bench {
         put("dd_incremental_probe_docs", nProbe.toString)
         put("dd_incremental_probe_sec", f"$best%.2f")
         put("dd_incremental_probe_docs_s", f"${nProbe / best}%.0f")
+        probeSecFloor = best
         TextOps.SigCache.clear()
       } finally stop(s)
       // dd_incremental_scaling (r6 verdict item 7): paired 2-vs-8-core
@@ -870,12 +891,7 @@ object Bench {
       def probeAt(cores: Int): Double = {
         val sN = session(cores)
         try {
-          val docsBase = sN.read.parquet(s"$sfDir/documents.parquet")
-            .select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
-          val probe = (0 until 8).map(i => docsBase.select(
-              (F.col("doc_id") + F.lit(i * 10000000L)).as("doc_id"),
-              F.concat(F.col("text"), F.lit(s" variant$i")).as("text")))
-            .reduce(_ unionAll _)
+          val probe = corpusX8(sN)
           TextOps.SigCache.clear()
           val t0 = System.nanoTime()
           MinhashIndex.incrementalPairs(probe, idxTable, minJaccard = 0.7)
@@ -884,7 +900,12 @@ object Bench {
         } finally stop(sN)
       }
       var ddRound = 0
-      var ddCost = 30.0 // first-round estimate; replaced by measurement
+      // first-round estimate DERIVED from the measured per-batch probe
+      // (x6 corpus, both legs, serial fraction keeps t2 near t8 —
+      // measured t2 within 1.4x of t8), not a hard-coded guess: a
+      // storm-stretched probe scales the gate up so round 1 cannot blow
+      // past the section cap by minutes
+      var ddCost = math.max(30.0, probeSecFloor * 6 * 3.5)
       while (ddEff.length < 2 && ddRound < 3 && timeLeft > ddCost * 1.2) {
         ddRound += 1
         val t0 = elapsed
@@ -1098,6 +1119,36 @@ object Bench {
           }
         }
       }
+      // shared gate + accumulate for BOTH round loops (serve and one-shot
+      // must never diverge on the gate): [0.5, 1.3] one-leg-spike window,
+      // ungated last-round fallback so a genuine scaling collapse reports
+      // its (bad) number rather than looking like the section never ran.
+      // `mode` is recorded only for rounds that actually landed a pair —
+      // a serve attempt that produced zero samples must not claim the
+      // section's (absent or preloaded) evidence.
+      def recordRound(s2: Double, t2: Long, s8: Double, mode: String): Unit = {
+        val eff = (t2 / s8) / (4.0 * (t2 / s2))
+        if ((eff >= 0.5 && eff <= 1.3) ||
+            (clusterSamples.isEmpty && round == 8)) {
+          clusterSamples += eff
+          clusterBest2 = math.min(clusterBest2, s2)
+          clusterBest8 = math.min(clusterBest8, s8)
+          clusterToks = t2
+        } else clusterDiscarded += eff
+        put("cluster_mode", "\"" + mode + "\"")
+      }
+      // parent-side command writes use the SAME tmp+rename publish as the
+      // child's result writes: the child polls exists() and reads
+      // immediately, so a plain writeString could expose an empty or
+      // truncated cmd ('' / 'reps=') whose toInt kills the child mid-
+      // section — losing both warm clusters to a race
+      def writeCmd(name: String, content: String): Unit = {
+        val tmpP = java.nio.file.Paths.get(ctlDir, name + ".tmp")
+        java.nio.file.Files.writeString(tmpP, content)
+        java.nio.file.Files.move(tmpP, java.nio.file.Paths.get(ctlDir, name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+
       // ---- PRIMARY: serve-mode rounds (children alive across rounds) ----
       var p2: Process = null
       var p8: Process = null
@@ -1106,133 +1157,120 @@ object Bench {
       var warm2 = 20.0
       var warm8 = 8.0
       var serveOk = false
+      // the WHOLE serve lifecycle sits in try/finally: an exception in the
+      // round loop is swallowed by section()'s catch, which would
+      // otherwise leak up to 10 live executor JVMs until their serve
+      // budget expires
       try {
-        p2 = launchServe(2)
-        p8 = launchServe(8)
-        // the two clusters fork + warm CONCURRENTLY (~40-90 s quiet: the
-        // warm pass is a full job each); under a storm give them up to
-        // 300 s, bounded by the overshoot cap — contention between the
-        // two warms biases nothing measured (warms are discarded)
-        val readyBy = math.min(elapsed + 300, overshootCap - 60)
-        val r2f = new java.io.File(ctlDir, "ready_2")
-        val r8f = new java.io.File(ctlDir, "ready_8")
-        if (awaitFile(r2f, readyBy) && awaitFile(r8f, readyBy)) {
-          parseSecTok(r2f).foreach { case (w, _) => warm2 = w }
-          parseSecTok(r8f).foreach { case (w, _) => warm8 = w }
-          serveOk = true
-        }
-      } catch { case _: Throwable => () }
-      // measured per-leg rep costs (start at the warm costs, replaced by
-      // real reps): serveLeg deadlines derive from these
-      var lastS2 = warm2
-      var lastS8 = warm8
-      def serveLeg(workers: Int, reps: Int): Option[(Double, Long)] = {
-        val k = if (workers == 2) { k2 += 1; k2 } else { k8 += 1; k8 }
-        val proc = if (workers == 2) p2 else p8
-        if (proc == null || !proc.isAlive) return None
-        val legEst = (if (workers == 2) lastS2 else lastS8) * reps
-        // per-leg deadline: reps at last-measured cost x5 + 45 s slack —
-        // generous because abandoning a timed-out leg kills BOTH warm
-        // children (protocol desync) and the one-shot fallback re-pays
-        // startup + warm per leg; a storm that stretches a leg 5x is
-        // cheaper to wait out than to restart from cold. Still bounded by
-        // the overshoot cap so a hung child can't run past the kill window.
-        val by = math.min(elapsed + legEst * 5 + 45, overshootCap - 10)
         try {
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(ctlDir, s"cmd_${workers}_$k"), s"reps=$reps")
-          val res = new java.io.File(ctlDir, s"res_${workers}_$k")
-          val r = if (awaitFile(res, by)) parseSecTok(res) else None
-          r.foreach { case (sec, _) =>
-            if (workers == 2) lastS2 = sec else lastS8 = sec
+          p2 = launchServe(2)
+          p8 = launchServe(8)
+          // the two clusters fork + warm CONCURRENTLY (~40-90 s quiet: the
+          // warm pass is a full job each); under a storm give them up to
+          // 300 s, bounded by the overshoot cap — contention between the
+          // two warms biases nothing measured (warms are discarded)
+          val readyBy = math.min(elapsed + 300, overshootCap - 60)
+          val r2f = new java.io.File(ctlDir, "ready_2")
+          val r8f = new java.io.File(ctlDir, "ready_8")
+          if (awaitFile(r2f, readyBy) && awaitFile(r8f, readyBy)) {
+            parseSecTok(r2f).foreach { case (w, _) => warm2 = w }
+            parseSecTok(r8f).foreach { case (w, _) => warm8 = w }
+            serveOk = true
           }
-          r
-        } catch { case _: Throwable => None }
-      }
-      // ROUND 1 IS A 1-REP PROBE with a generous entry gate: the warm
-      // passes run concurrently against a cold page cache, so an estimate
-      // derived from them overestimates steady-state reps 3-6x (measured:
-      // a 487M-token warm took 127 s where the steady rep is ~20 s) — a
-      // warm-based guard refuses rounds that would in fact fit. The
-      // measured probe round is the real estimator; per-leg deadlines
-      // bound the probe on a genuinely crushed box. The <3-sample branch
-      // may run into the 1.12x-budget overshoot window (same constant the
-      // one-shot design used): >=3 in-gate samples is the evidence bar
-      // this section exists to clear.
-      var repsPerLeg = 1
-      var costPerRep = 0.0 // measured cost of a round at 1 rep/leg
-      while (serveOk && clusterSamples.length < 5 && round < 8 && {
-        if (costPerRep == 0) elapsed + 40 < budgetSec * 1.12 // probe round
-        else {
-          val est = costPerRep * repsPerLeg + 4
-          if (clusterSamples.length < 3)
-            elapsed + est * 1.1 + 15 < budgetSec * 1.12
-          else remaining > est * 1.15 + 20
+        } catch { case _: Throwable => () }
+        // measured per-leg rep costs (start at the warm costs, replaced by
+        // real reps): serveLeg deadlines derive from these
+        var lastS2 = warm2
+        var lastS8 = warm8
+        def serveLeg(workers: Int, reps: Int): Option[(Double, Long)] = {
+          val k = if (workers == 2) { k2 += 1; k2 } else { k8 += 1; k8 }
+          val proc = if (workers == 2) p2 else p8
+          if (proc == null || !proc.isAlive) return None
+          val legEst = (if (workers == 2) lastS2 else lastS8) * reps
+          // per-leg deadline: reps at last-measured cost x5 + 45 s slack —
+          // generous because abandoning a timed-out leg kills BOTH warm
+          // children (protocol desync) and the one-shot fallback re-pays
+          // startup + warm per leg; a storm that stretches a leg 5x is
+          // cheaper to wait out than to restart from cold. Still bounded by
+          // the overshoot cap so a hung child can't run past the kill window.
+          val by = math.min(elapsed + legEst * 5 + 45, overshootCap - 10)
+          try {
+            writeCmd(s"cmd_${workers}_$k", s"reps=$reps")
+            val res = new java.io.File(ctlDir, s"res_${workers}_$k")
+            val r = if (awaitFile(res, by)) parseSecTok(res) else None
+            r.foreach { case (sec, _) =>
+              if (workers == 2) lastS2 = sec else lastS8 = sec
+            }
+            r
+          } catch { case _: Throwable => None }
         }
-      }) {
-        round += 1
-        // multi-rep rounds give better per-leg floors (min-of-reps): a
-        // storm window that eats one rep of one leg no longer poisons the
-        // round's ratio. 3 reps/leg when the remaining budget comfortably
-        // covers them (serve-mode reps are the only per-round cost), 2
-        // when tighter, 1 as the probe/last-resort
-        repsPerLeg =
-          if (costPerRep > 0 && remaining > costPerRep * 3 * 1.3 + 30) 3
-          else if (costPerRep > 0 && remaining > costPerRep * 2 * 1.3 + 30) 2
-          else 1
-        val rt0 = elapsed
-        val legs =
-          if (round % 2 == 1) {
-            val a = serveLeg(2, repsPerLeg)
-            val b = serveLeg(8, repsPerLeg)
-            (a, b)
-          } else {
-            val b = serveLeg(8, repsPerLeg)
-            val a = serveLeg(2, repsPerLeg)
-            (a, b)
+        // ROUND 1 IS A 1-REP PROBE with a generous entry gate: the warm
+        // passes run concurrently against a cold page cache, so an estimate
+        // derived from them overestimates steady-state reps 3-6x (measured:
+        // a 487M-token warm took 127 s where the steady rep is ~20 s) — a
+        // warm-based guard refuses rounds that would in fact fit. The
+        // measured probe round is the real estimator; per-leg deadlines
+        // bound the probe on a genuinely crushed box. The <3-sample branch
+        // may run into the 1.12x-budget overshoot window (same constant the
+        // one-shot design used): >=3 in-gate samples is the evidence bar
+        // this section exists to clear.
+        var repsPerLeg = 1
+        var costPerRep = 0.0 // measured cost of a round at 1 rep/leg
+        while (serveOk && clusterSamples.length < 5 && round < 8 && {
+          if (costPerRep == 0) elapsed + 40 < budgetSec * 1.12 // probe round
+          else {
+            val est = costPerRep * repsPerLeg + 4
+            if (clusterSamples.length < 3)
+              elapsed + est * 1.1 + 15 < budgetSec * 1.12
+            else remaining > est * 1.15 + 20
           }
-        roundCost = elapsed - rt0
-        costPerRep = roundCost / repsPerLeg
-        legs match {
-          case (Some((s2, t2)), Some((s8, _))) =>
-            val eff = (t2 / s8) / (4.0 * (t2 / s2))
-            // same gate + same ungated last-round fallback as the local
-            // loop: a build whose scaling genuinely collapsed reports its
-            // (bad) number rather than looking like the section never ran
-            if ((eff >= 0.5 && eff <= 1.3) ||
-                (clusterSamples.isEmpty && round == 8)) {
-              clusterSamples += eff
-              clusterBest2 = math.min(clusterBest2, s2)
-              clusterBest8 = math.min(clusterBest8, s8)
-              clusterToks = t2
-            } else clusterDiscarded += eff
-          case (a, b) =>
-            // a timed-out/dead child desyncs the cmd/res counters — stop
-            // serve mode; the one-shot fallback below finishes the job
-            clusterLegFailures += Seq(a, b).count(_.isEmpty)
-            serveOk = false
+        }) {
+          round += 1
+          // multi-rep rounds give better per-leg floors (min-of-reps): a
+          // storm window that eats one rep of one leg no longer poisons the
+          // round's ratio. 3 reps/leg when the remaining budget comfortably
+          // covers them (serve-mode reps are the only per-round cost), 2
+          // when tighter, 1 as the probe/last-resort
+          repsPerLeg =
+            if (costPerRep > 0 && remaining > costPerRep * 3 * 1.3 + 30) 3
+            else if (costPerRep > 0 && remaining > costPerRep * 2 * 1.3 + 30) 2
+            else 1
+          val rt0 = elapsed
+          val legs =
+            if (round % 2 == 1) {
+              val a = serveLeg(2, repsPerLeg)
+              val b = serveLeg(8, repsPerLeg)
+              (a, b)
+            } else {
+              val b = serveLeg(8, repsPerLeg)
+              val a = serveLeg(2, repsPerLeg)
+              (a, b)
+            }
+          roundCost = elapsed - rt0
+          costPerRep = roundCost / repsPerLeg
+          legs match {
+            case (Some((s2, t2)), Some((s8, _))) =>
+              recordRound(s2, t2, s8, "serve")
+            case (a, b) =>
+              // a timed-out/dead child desyncs the cmd/res counters — stop
+              // serve mode; the one-shot fallback below finishes the job
+              clusterLegFailures += Seq(a, b).count(_.isEmpty)
+              serveOk = false
+          }
+          emitCluster()
+          emit() // per-ROUND flush: the longest section refreshes evidence mid-flight
         }
-        put("cluster_mode", "\"serve\"")
-        emitCluster()
-        emit() // per-ROUND flush: the longest section refreshes evidence mid-flight
-      }
-      // graceful shutdown (harmless if a child already died); force-kill
-      // as the backstop so no 10-JVM cluster outlives the bench
-      try {
-        if (p2 != null && p2.isAlive) {
-          k2 += 1
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(ctlDir, s"cmd_2_$k2"), "quit")
+      } finally {
+        // graceful shutdown (harmless if a child already died); force-kill
+        // as the backstop so no 10-JVM cluster outlives the bench
+        try {
+          if (p2 != null && p2.isAlive) { k2 += 1; writeCmd(s"cmd_2_$k2", "quit") }
+          if (p8 != null && p8.isAlive) { k8 += 1; writeCmd(s"cmd_8_$k8", "quit") }
+        } catch { case _: Throwable => () }
+        Seq(p2, p8).filter(p => p != null && p.isAlive).foreach { p =>
+          if (!p.waitFor(15, java.util.concurrent.TimeUnit.SECONDS))
+            p.destroyForcibly(): Unit
         }
-        if (p8 != null && p8.isAlive) {
-          k8 += 1
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(ctlDir, s"cmd_8_$k8"), "quit")
-        }
-      } catch { case _: Throwable => () }
-      Seq(p2, p8).filter(p => p != null && p.isAlive).foreach { p =>
-        if (!p.waitFor(15, java.util.concurrent.TimeUnit.SECONDS))
-          p.destroyForcibly(): Unit
       }
 
       // ---- FALLBACK: one-shot rounds, only when serve mode fell short ----
@@ -1256,15 +1294,7 @@ object Bench {
         roundCost = elapsed - rt0
         legs match {
           case (Some((s2, t2)), Some((s8, _))) =>
-            val eff = (t2 / s8) / (4.0 * (t2 / s2))
-            if ((eff >= 0.5 && eff <= 1.3) ||
-                (clusterSamples.isEmpty && round == 8)) {
-              clusterSamples += eff
-              clusterBest2 = math.min(clusterBest2, s2)
-              clusterBest8 = math.min(clusterBest8, s8)
-              clusterToks = t2
-            } else clusterDiscarded += eff
-            put("cluster_mode", "\"oneshot\"")
+            recordRound(s2, t2, s8, "oneshot")
           case (a, b) => // child(ren) failed/killed; retry within the round budget
             clusterLegFailures += Seq(a, b).count(_.isEmpty)
         }
