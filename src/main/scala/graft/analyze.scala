@@ -73,7 +73,9 @@ object Analyzer {
     * estimates are pure functions of stats; ties break on codec id.
     */
   def select(s: BlockStats, policy: String = "auto"): TokenCodec = {
-    if (policy != "auto") return CodecRegistry.byName(policy)
+    // forPolicy, not byName: decode-only legacy names ("fsst") alias to
+    // their current writer so a pinned policy can never WRITE them
+    if (policy != "auto") return CodecRegistry.forPolicy(policy)
     var best: TokenCodec = PlainCodec
     var bestEst = PlainCodec.estimate(s)
     CodecRegistry.all.foreach { c =>

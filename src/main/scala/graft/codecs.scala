@@ -475,10 +475,18 @@ object DictCodec extends TableCodec {
   *         [(mergedIdx delta varint, outTok delta varint) x nSync]
   *         [DictCodec bytes of merged stream].
   * Symbol s (0-based) is referenced in streams/pairs as SymbolBase + s.
-  * Bodies written BEFORE the sync table existed ([mergedLen][DictCodec
-  * bytes]) are still decoded: [[parseBody]] detects the legacy layout
-  * structurally (byte-exact dict-length equation + sync invariants) and
-  * falls back — persisted fsst blocks from earlier rounds stay readable.
+  *
+  * VERSIONED NAME (ADVICE r7): new blocks are written under the explicit
+  * codec name "fsst2", which means exactly the sync-table layout above —
+  * no structural sniffing on the write path's name, ever. Blocks persisted
+  * by rounds ≤7 exist under the single name "fsst" in BOTH the sync-table
+  * layout and the PRE-sync-table legacy layout ([mergedLen][DictCodec
+  * bytes]); those dispatch to [[FsstLegacyCodec]], whose [[parseBody]]
+  * keeps the structural detector (byte-exact dict-length equation + sync
+  * invariants). The ambiguity window is frozen at already-persisted
+  * blocks: the cost model never selects the legacy codec and the policy
+  * alias "fsst" resolves to the "fsst2" writer, so the ambiguous name
+  * cannot be written again. Any future body reshape bumps the name (fsst3).
   *
   * The sync table records (merged position, output token position) every
   * ~[[SyncInterval]] output tokens, so range reads resume mid-stream:
@@ -489,7 +497,7 @@ object DictCodec extends TableCodec {
   * closing the last sequential-codec fallback in the engine's range reads.
   */
 object FsstCodec extends TableCodec {
-  val id = 5; val name = "fsst"
+  val id = 5; val name = "fsst2"
   val SymbolBase: Int = 1 << 28
   val MaxRounds = 6
   val PairsPerRound = 96
@@ -657,29 +665,36 @@ object FsstCodec extends TableCodec {
   /** Parsed body header: merged length, absolute sync tables, and the
     * offset of the embedded DictCodec bytes.
     */
-  private final class BodyHeader(val mergedLen: Int, val syncM: Array[Int],
-                                 val syncOut: Array[Int], val dictOff: Int)
+  private[graft] final class BodyHeader(val mergedLen: Int, val syncM: Array[Int],
+                                        val syncOut: Array[Int], val dictOff: Int)
 
-  /** Parse the body header at `start`, accepting BOTH the current layout
-    * ([mergedLen][nSync][sync deltas][dict]) and the PRE-sync-table legacy
-    * layout ([mergedLen][dict], written before the sync table was inserted
-    * under the unchanged codec name) — legacy-persisted fsst blocks must
-    * keep decoding (ADVICE r6). Discrimination is structural and
-    * byte-exact: a layout is accepted only when its embedded DictCodec
-    * stream of exactly mergedLen codes ends exactly at the body's last
-    * byte, and (current layout) the sync table obeys its writer's
-    * invariants — nSync ≤ n/SyncInterval, merged indexes strictly
-    * increasing below mergedLen, output indexes spaced ≥ SyncInterval
-    * below n. A legacy body misread as current would have to satisfy all
-    * of those AND the byte-length equation simultaneously; the current
-    * layout wins that (never-observed) double fit, being what this writer
-    * emits. Any FUTURE body reshape must bump the codec name (fsst2)
-    * instead of reusing this detector.
+  /** Parse the body header at `start`. Under the versioned name "fsst2"
+    * (acceptLegacy = false, this object's own decode paths) ONLY the
+    * current layout ([mergedLen][nSync][sync deltas][dict]) is legal — a
+    * legacy-shaped body under that name is corruption and fails loudly.
+    * Blocks persisted under the pre-versioned name "fsst" (rounds ≤7,
+    * [[FsstLegacyCodec]], acceptLegacy = true) also accept the legacy
+    * layout ([mergedLen][dict]) via structural detection (ADVICE r6):
+    * a layout is accepted only when its embedded DictCodec stream of
+    * exactly mergedLen codes ends exactly at the body's last byte, and
+    * (current layout) the sync table obeys its writer's invariants —
+    * nSync ≤ n/SyncInterval, merged indexes strictly increasing below
+    * mergedLen, output indexes spaced ≥ SyncInterval below n. A legacy
+    * body misread as current would have to satisfy all of those AND the
+    * byte-length equation simultaneously; the current layout wins that
+    * (never-observed) double fit, being what the round-≤7 writer emitted.
+    * The detector exists ONLY for those already-persisted "fsst" blocks —
+    * the ambiguity window cannot grow (ADVICE r7).
     */
-  private def parseBody(body: Array[Byte], start: Int, n: Int): BodyHeader =
-    parseCurrent(body, start, n).orElse(parseLegacy(body, start)).getOrElse(
-      throw new InvalidCodecException(
-        s"fsst: body at offset $start matches neither the sync-table nor the legacy layout"))
+  private[graft] def parseBody(body: Array[Byte], start: Int, n: Int,
+                               acceptLegacy: Boolean): BodyHeader =
+    parseCurrent(body, start, n)
+      .orElse(if (acceptLegacy) parseLegacy(body, start) else None)
+      .getOrElse(throw new InvalidCodecException(
+        if (acceptLegacy)
+          s"fsst: body at offset $start matches neither the sync-table nor the legacy layout"
+        else
+          s"fsst2: body at offset $start does not match the sync-table layout"))
 
   private def parseCurrent(body: Array[Byte], start: Int, n: Int): Option[BodyHeader] =
     try {
@@ -736,9 +751,13 @@ object FsstCodec extends TableCodec {
       w <= 32 && cur.pos + 1 + packedSize(mergedLen, w) == body.length
     } catch { case _: ArrayIndexOutOfBoundsException => false }
 
-  def decodeWith(tableB: Array[Byte], body: Array[Byte], n: Int): Array[Int] = {
+  def decodeWith(tableB: Array[Byte], body: Array[Byte], n: Int): Array[Int] =
+    decodeWithImpl(tableB, body, n, acceptLegacy = false)
+
+  private[graft] def decodeWithImpl(tableB: Array[Byte], body: Array[Byte],
+                                    n: Int, acceptLegacy: Boolean): Array[Int] = {
     val t = tableFromBytes(tableB)
-    val h = parseBody(body, 0, n)
+    val h = parseBody(body, 0, n, acceptLegacy)
     val dictB = java.util.Arrays.copyOfRange(body, h.dictOff, body.length)
     val merged = DictCodec.decode(dictB, h.mergedLen)
     expand(t.left, t.right, merged, n)
@@ -746,17 +765,24 @@ object FsstCodec extends TableCodec {
 
   override def decodeWithSlice(tableB: Array[Byte], body: Array[Byte], n: Int,
                                from: Int, until: Int): Option[Array[Int]] =
-    Some(sliceBody(tableFromBytes(tableB), body, 0, n, from, until))
+    Some(sliceBody(tableFromBytes(tableB), body, 0, n, from, until,
+      acceptLegacy = false))
+
+  private[graft] def decodeWithSliceImpl(tableB: Array[Byte], body: Array[Byte],
+                                         n: Int, from: Int, until: Int,
+                                         acceptLegacy: Boolean): Option[Array[Int]] =
+    Some(sliceBody(tableFromBytes(tableB), body, 0, n, from, until, acceptLegacy))
 
   /** Sync-point slice: last sync ≤ `from` bounds where expansion starts,
     * first sync ≥ `until` bounds which merged codes are dict-decoded at
     * all; symbols straddling the slice edges expand with clipping.
     */
   private def sliceBody(t: FsstTable, bytes: Array[Byte], bodyStart: Int,
-                        n: Int, from: Int, until: Int): Array[Int] = {
+                        n: Int, from: Int, until: Int,
+                        acceptLegacy: Boolean): Array[Int] = {
     val out = new Array[Int](until - from)
     if (until == from) return out
-    val h = parseBody(bytes, bodyStart, n)
+    val h = parseBody(bytes, bodyStart, n, acceptLegacy)
     // start: greatest sync with outTok <= from ((0,0) is implicit)
     var lo = 0
     var hi = h.syncOut.length
@@ -904,19 +930,27 @@ object FsstCodec extends TableCodec {
     (FsstTable(left, right), stream)
   }
 
-  def decode(bytes: Array[Byte], n: Int): Array[Int] = {
+  def decode(bytes: Array[Byte], n: Int): Array[Int] =
+    decodeImpl(bytes, n, acceptLegacy = false)
+
+  private[graft] def decodeImpl(bytes: Array[Byte], n: Int,
+                                acceptLegacy: Boolean): Array[Int] = {
     val cur = new Cursor(0)
     val t = tableFrom(bytes, cur)
-    val h = parseBody(bytes, cur.pos, n)
+    val h = parseBody(bytes, cur.pos, n, acceptLegacy)
     val body = java.util.Arrays.copyOfRange(bytes, h.dictOff, bytes.length)
     val merged = DictCodec.decode(body, h.mergedLen)
     expand(t.left, t.right, merged, n)
   }
 
-  override def decodeSlice(bytes: Array[Byte], n: Int, from: Int, until: Int): Option[Array[Int]] = {
+  override def decodeSlice(bytes: Array[Byte], n: Int, from: Int, until: Int): Option[Array[Int]] =
+    decodeSliceImpl(bytes, n, from, until, acceptLegacy = false)
+
+  private[graft] def decodeSliceImpl(bytes: Array[Byte], n: Int, from: Int,
+                                     until: Int, acceptLegacy: Boolean): Option[Array[Int]] = {
     val cur = new Cursor(0)
     val t = tableFrom(bytes, cur)
-    Some(sliceBody(t, bytes, cur.pos, n, from, until))
+    Some(sliceBody(t, bytes, cur.pos, n, from, until, acceptLegacy))
   }
 
   /** Iterative symbol expansion with an explicit stack (symbols reference
@@ -949,6 +983,44 @@ object FsstCodec extends TableCodec {
   }
 }
 
+/** Decode-only dispatch target for blocks persisted under the PRE-versioned
+  * name "fsst" (ADVICE r7). Rounds ≤7 wrote BOTH the legacy
+  * [mergedLen][dict] body and the current sync-table body under that one
+  * name, so this codec's decode paths keep the structural layout detector.
+  * It can never WRITE: the cost model skips it (applicable = false,
+  * estimate = MaxValue), encode throws, and the policy alias "fsst"
+  * resolves to [[FsstCodec]] ("fsst2") — the ambiguous name is frozen at
+  * the blocks that already exist.
+  */
+object FsstLegacyCodec extends TableCodec {
+  val id = 7; val name = "fsst"
+  type Table = FsstCodec.FsstTable
+
+  override def applicable(s: BlockStats): Boolean = false
+  def estimate(s: BlockStats): Long = Long.MaxValue
+  def encode(tokens: Array[Int]): Array[Byte] =
+    throw new InvalidCodecException(
+      "codec 'fsst' is decode-only (pre-versioned name); new blocks are written as 'fsst2'")
+  def encodeWith(t: Table, tokens: Array[Int]): Option[Array[Byte]] =
+    throw new InvalidCodecException(
+      "codec 'fsst' is decode-only (pre-versioned name); new blocks are written as 'fsst2'")
+  def reusable(t: Table, s: BlockStats): Boolean = false
+
+  def train(tokens: Array[Int]): Table = FsstCodec.train(tokens)
+  def tableBytes(t: Table): Array[Byte] = FsstCodec.tableBytes(t)
+  def tableFromBytes(b: Array[Byte]): Table = FsstCodec.tableFromBytes(b)
+
+  def decode(bytes: Array[Byte], n: Int): Array[Int] =
+    FsstCodec.decodeImpl(bytes, n, acceptLegacy = true)
+  override def decodeSlice(bytes: Array[Byte], n: Int, from: Int, until: Int): Option[Array[Int]] =
+    FsstCodec.decodeSliceImpl(bytes, n, from, until, acceptLegacy = true)
+  def decodeWith(tableB: Array[Byte], body: Array[Byte], n: Int): Array[Int] =
+    FsstCodec.decodeWithImpl(tableB, body, n, acceptLegacy = true)
+  override def decodeWithSlice(tableB: Array[Byte], body: Array[Byte], n: Int,
+                               from: Int, until: Int): Option[Array[Int]] =
+    FsstCodec.decodeWithSliceImpl(tableB, body, n, from, until, acceptLegacy = true)
+}
+
 /** Closed-world codec dispatch, the analog of the reference's enum→impl
   * if/else chains with `InvalidFormat` on unknown ids
   * (/root/reference/src/EncodeTools.ts:784-796, 301-310).
@@ -956,7 +1028,7 @@ object FsstCodec extends TableCodec {
 object CodecRegistry {
   val all: Seq[TokenCodec] =
     Seq(PlainCodec, BitPackCodec, ForCodec, RleCodec, DictCodec, FsstCodec,
-      DeltaCodec)
+      DeltaCodec, FsstLegacyCodec)
 
   private val byIdMap: Map[Int, TokenCodec] = all.map(c => c.id -> c).toMap
   private val byNameMap: Map[String, TokenCodec] = all.map(c => c.name -> c).toMap
@@ -965,6 +1037,16 @@ object CodecRegistry {
     byIdMap.getOrElse(id, throw new InvalidCodecException(s"unknown codec id $id"))
   def byName(name: String): TokenCodec =
     byNameMap.getOrElse(name, throw new InvalidCodecException(s"unknown codec '$name'"))
+
+  /** Policy-name resolution for ENCODING. Decode-only legacy names alias to
+    * their current writer ("fsst" → "fsst2"), so a pinned codec policy from
+    * an earlier round keeps working without ever writing the ambiguous
+    * pre-versioned name again (ADVICE r7).
+    */
+  def forPolicy(name: String): TokenCodec = name match {
+    case FsstLegacyCodec.name => FsstCodec
+    case other => byName(other)
+  }
 
   def encode(name: String, tokens: Array[Int]): Array[Byte] =
     byName(name).encode(tokens)

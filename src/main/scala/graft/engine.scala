@@ -239,15 +239,18 @@ class TokenCompressor(val opts: EncodeOptions) extends Serializable {
     val slotOf = targetIds.zipWithIndex.toMap
     val keyOfPart: Array[Int] =
       Array.tabulate(plan.numParts)(p => slotOf.get(p).map(probes).getOrElse(0))
-    // OPTIONAL shuffle-byte reduction for network-bound clusters: FOR-pack
-    // each row's token array to binary on the map side (~2.5-3x fewer bytes
+    // DEFAULT-ON shuffle-byte reduction (r7 verdict item 4): FOR-pack each
+    // row's token array to binary on the map side (~2.5-3x fewer bytes
     // than LE int32 before lz4 even sees them) via the codegen [[ForPack]]
     // expression — the scan→route→pack map stage stays ONE WholeStageCodegen
     // span (the former Scala UDF's converter barrier is what made this knob
     // lose locally; verdict r6 item 6) — and unpack with [[ForUnpack]] after
     // the exchange + sort, so the spillable shuffle/sort machinery only ever
-    // carries the packed bytes. On a real cluster the exchange's wire bytes
-    // are the bottleneck this trades (now cheap) CPU against.
+    // carries the packed bytes. The interleaved A/B
+    // (tools/ab_packshuffle_20260818.jsonl) has pack winning even through
+    // localhost (less ser/deser + transport-lz4 work); on a real cluster
+    // the exchange's wire bytes are the bottleneck it trades cheap CPU
+    // against. packShuffle=false keeps the unpacked exchange for A/Bs.
     val keyed = filtered
       .withColumn("route_key",
         org.apache.spark.sql.functions.element_at(

@@ -91,10 +91,16 @@ final case class EncodedBlock(
   *                     unpack are codegen expressions ([[ForPack]] /
   *                     [[ForUnpack]]) — the former Scala UDF's converter
   *                     barrier cost 74->61 MTok/s at 8 cores locally
-  *                     (verdict r6 item 6). Default OFF: on a no-network
-  *                     box packing buys nothing; turn on for clusters
-  *                     where the wire, not the CPU, is the shuffle
-  *                     bottleneck (interleaved A/B numbers in BENCH.md)
+  *                     (verdict r6 item 6). Default ON (r7 verdict item 4):
+  *                     with the codegen kernels the knob WINS even on a
+  *                     no-network box — the 6-round interleaved A/B
+  *                     (tools/ab_packshuffle_20260818.jsonl) has pack
+  *                     decisively faster on both encode and decode legs
+  *                     (fewer serialized exchange bytes = less ser/deser +
+  *                     lz4 work even through localhost) — and it is designed
+  *                     to win harder on clusters where the wire, not the
+  *                     CPU, is the shuffle bottleneck. Set false to A/B the
+  *                     unpacked exchange (numbers in BENCH.md)
   * @param zdictBlocks  >0 trains one shared zstd dictionary per partition
   *                     over the codec bytes of its first `zdictBlocks`
   *                     blocks, then frames subsequent blocks with it when
@@ -123,7 +129,7 @@ final case class EncodeOptions(
     strictSizeBound: Boolean = false,
     tableReuse: Boolean = true,
     retrainEvery: Int = 16,
-    packShuffle: Boolean = false,
+    packShuffle: Boolean = true,
     zdictBlocks: Int = 0,
     zdictBytes: Int = 1 << 16,
     zdictAuto: Boolean = false

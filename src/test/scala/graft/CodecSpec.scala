@@ -34,6 +34,7 @@ class CodecSpec extends AnyFunSuite {
     val canEncode = codec match {
       case BitPackCodec => data.forall(_ >= 0)
       case FsstCodec => data.forall(v => v >= 0 && v < FsstCodec.SymbolBase)
+      case FsstLegacyCodec => false // decode-only dispatch target (ADVICE r7)
       case DictCodec => true // MaxDict is large enough for all shapes here
       case _ => true
     }
@@ -198,9 +199,10 @@ class CodecSpec extends AnyFunSuite {
   }
 
   test("fsst legacy (pre-sync-table) bodies still decode, full and sliced") {
-    // Blocks persisted before the sync table was inserted carry
-    // body = [mergedLen][DictCodec bytes] under the SAME codec name; the
-    // structural detector in parseBody must decode them (ADVICE r6).
+    // Blocks persisted by rounds ≤7 carry body = [mergedLen][DictCodec
+    // bytes] under the pre-versioned name "fsst"; the structural detector
+    // now lives ONLY in FsstLegacyCodec (that name's dispatch target,
+    // ADVICE r7) — the "fsst2" writer rejects legacy bodies loudly.
     import Bits._
     val rng = new scala.util.Random(91)
     val motifs = Array.tabulate(8)(m => Array.tabulate(16)(i => 100 + m * 31 + i))
@@ -225,19 +227,34 @@ class CodecSpec extends AnyFunSuite {
     val headLen = writeVarint(head, 0, mergedLen)
     val legacy = java.util.Arrays.copyOf(head, headLen) ++
       java.util.Arrays.copyOfRange(v2, cur.pos, v2.length)
-    // split path (table column + body column), full + sliced
-    assert(FsstCodec.decodeWith(tb, legacy, toks.length).toSeq == toks.toSeq)
+    // split path (table column + body column), full + sliced — via the
+    // legacy-name dispatch target
+    assert(FsstLegacyCodec.decodeWith(tb, legacy, toks.length).toSeq == toks.toSeq)
     Seq((0, 10), (4090, 4200), (20000, 20001), (toks.length - 5, toks.length))
       .foreach { case (f, u) =>
-        val sl = FsstCodec.decodeWithSlice(tb, legacy, toks.length, f, u)
+        val sl = FsstLegacyCodec.decodeWithSlice(tb, legacy, toks.length, f, u)
         assert(sl.get.toSeq == toks.slice(f, u).toSeq, s"legacy [$f,$u)")
       }
     // inline path (standalone encode layout = table ++ body)
     val inlineLegacy = tb ++ legacy
-    assert(FsstCodec.decode(inlineLegacy, toks.length).toSeq == toks.toSeq)
-    assert(FsstCodec.decodeSlice(inlineLegacy, toks.length, 5000, 5100).get.toSeq ==
+    assert(FsstLegacyCodec.decode(inlineLegacy, toks.length).toSeq == toks.toSeq)
+    assert(FsstLegacyCodec.decodeSlice(inlineLegacy, toks.length, 5000, 5100).get.toSeq ==
       toks.slice(5000, 5100).toSeq)
-    // and the current layout still decodes identically after the change
+    // the legacy codec also decodes CURRENT bodies (rounds 6-7 persisted
+    // the sync-table layout under "fsst" too)
+    assert(FsstLegacyCodec.decodeWith(tb, v2, toks.length).toSeq == toks.toSeq)
+    // and the current layout still decodes identically under fsst2
     assert(FsstCodec.decodeWith(tb, v2, toks.length).toSeq == toks.toSeq)
+    // the versioned writer REJECTS legacy bodies instead of sniffing — the
+    // ambiguity window is frozen (ADVICE r7)
+    intercept[InvalidCodecException](
+      FsstCodec.decodeWith(tb, legacy, toks.length))
+    intercept[InvalidCodecException](
+      FsstCodec.decode(inlineLegacy, toks.length))
+    // registry: the legacy name is decode-only; the policy alias writes fsst2
+    intercept[InvalidCodecException](FsstLegacyCodec.encode(toks))
+    assert(CodecRegistry.byName("fsst") eq FsstLegacyCodec)
+    assert(CodecRegistry.byName("fsst2") eq FsstCodec)
+    assert(CodecRegistry.forPolicy("fsst") eq FsstCodec)
   }
 }

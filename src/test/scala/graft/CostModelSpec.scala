@@ -18,7 +18,7 @@ class CostModelSpec extends AnyFunSuite {
 
   test("small_alpha selects a dictionary-family codec") {
     val sel = Analyzer.select(Analyzer.stats(blockOf("small_alpha"))).name
-    assert(Set("dict", "fsst").contains(sel), sel)
+    assert(Set("dict", "fsst2").contains(sel), sel)
   }
 
   test("narrow_band selects frame-of-reference (or dict if tighter)") {
@@ -28,7 +28,7 @@ class CostModelSpec extends AnyFunSuite {
 
   test("repeat_pairs selects fsst") {
     val sel = Analyzer.select(Analyzer.stats(blockOf("repeat_pairs"))).name
-    assert(sel == "fsst", sel)
+    assert(sel == "fsst2", sel)
   }
 
   test("sorted posting-list shape selects delta") {

@@ -94,8 +94,10 @@ class PlanShapeSpec extends AnyFunSuite {
     banded.sparkSession.catalog.clearCache()
   }
 
-  test("encode pipeline: exactly one exchange, identity part routing") {
+  test("DEFAULT encode pipeline: one exchange, identity routing, PACKED (r7 item 4)") {
     val ds = Fixtures.tokenTable(spark, 400L)
+    // DEFAULT options: since r8 the default path is the packed pipeline
+    // (packShuffle won its interleaved A/B, tools/ab_packshuffle_20260818)
     val opts = EncodeOptions(numParts = 4, blockTokens = 1 << 12)
     val plan = Planner.plan(ds, opts)
     val p = planOf(TokenCompressor(opts).encodeWithPlan(ds, plan, None).toDF())
@@ -107,28 +109,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("part_id_of"), s"native PartIdOf missing:\n$p")
     assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("),
       s"Scala UDF reappeared in the encode route stage:\n$p")
-  }
-
-  test("packShuffle pipeline: codegen pack below the exchange, unpack above") {
-    val ds = Fixtures.tokenTable(spark, 400L)
-    val opts = EncodeOptions(numParts = 4, blockTokens = 1 << 12,
-      packShuffle = true)
-    val plan = Planner.plan(ds, opts)
-    val p = planOf(TokenCompressor(opts).encodeWithPlan(ds, plan, None).toDF())
-    // still exactly one exchange, and it must carry the PACKED bytes:
-    // plans print top-down, so for_unpack (reduce side) sits ABOVE the
-    // Exchange line and for_pack (map side) BELOW it
-    assert("Exchange".r.findAllIn(p).length == 1, p)
+    // and the default exchange must carry the PACKED bytes: plans print
+    // top-down, so for_unpack (reduce side) sits ABOVE the Exchange line
+    // and for_pack (map side) BELOW it
     val iEx = p.indexOf("Exchange")
     val iPack = p.indexOf("for_pack")
     val iUnpack = p.indexOf("for_unpack")
-    assert(iPack >= 0 && iUnpack >= 0, s"pack expressions missing:\n$p")
+    assert(iPack >= 0 && iUnpack >= 0,
+      s"default path must pack the exchange (r7 verdict item 4):\n$p")
     assert(iUnpack < iEx && iEx < iPack,
       s"pack must run map-side and unpack reduce-side:\n$p")
-    // verdict r6 item 6: the packed path must be UDF-free — pack/unpack
-    // are native expressions inside whole-stage codegen
+  }
+
+  test("packShuffle=false variant: unpacked exchange, still one exchange, UDF-free") {
+    val ds = Fixtures.tokenTable(spark, 400L)
+    val opts = EncodeOptions(numParts = 4, blockTokens = 1 << 12,
+      packShuffle = false)
+    val plan = Planner.plan(ds, opts)
+    val p = planOf(TokenCompressor(opts).encodeWithPlan(ds, plan, None).toDF())
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("for_pack") && !p.contains("for_unpack"),
+      s"unpacked variant must not pack:\n$p")
+    assert(p.contains("part_id_of"), s"native PartIdOf missing:\n$p")
     assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("),
-      s"Scala UDF reappeared in the packed encode path:\n$p")
+      s"Scala UDF reappeared in the unpacked encode path:\n$p")
   }
 
   test("incrementalPairs: committed sigs scanned once in place, cand side broadcast") {

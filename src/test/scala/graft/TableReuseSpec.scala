@@ -44,7 +44,7 @@ class TableReuseSpec extends AnyFunSuite {
     val ds = Fixtures.tokenTable(spark, 1200L)
     val opts = EncodeOptions(numParts = 2, blockTokens = 1 << 13)
     val blocks = TokenCompressor(opts).encode(ds).collect()
-    val tabular = blocks.filter(b => b.codec == "dict" || b.codec == "fsst")
+    val tabular = blocks.filter(b => b.codec == "dict" || b.codec == "fsst2")
     assert(tabular.nonEmpty, "fixture must exercise table codecs")
     tabular.foreach(b => assert(b.symtab.nonEmpty))
     val distinctTabs = tabular.map(_.symtab.toSeq).distinct.length
