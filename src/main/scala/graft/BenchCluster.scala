@@ -72,17 +72,22 @@ object BenchCluster {
     else
       oneshot(fixturePath, workers, args(2).toInt,
         if (args.length > 3) args(3).toInt else 64,
-        args.length > 4 && args(4) == "pack")
+        // explicit pack/nopack override for A/Bs; default = the engine's
+        // default path (packShuffle ON since r8), which is what the
+        // cluster legs exist to evidence
+        if (args.length > 4 && args(4) == "pack") Some(true)
+        else if (args.length > 4 && args(4) == "nopack") Some(false)
+        else None)
   }
 
   private def encoder(s: SparkSession, fixturePath: String, nParts: Int,
-                      pack: Boolean): () => (Double, Long) = {
+                      pack: Option[Boolean]): () => (Double, Long) = {
     import org.apache.spark.sql.Encoders
     // 64 planned parts ~= 3-8M tokens (12-30 MB) per encode task at the
     // parent-chosen >=200M-token job: few scheduling waves, real per-task
     // work — the shape a 1000-executor run would use per core
     val opts = EncodeOptions(numParts = nParts, sampleMod = 16,
-      packShuffle = pack)
+      packShuffle = pack.getOrElse(EncodeOptions.default.packShuffle))
     val ds = s.read.parquet(fixturePath).as[TokenRow](Encoders.product[TokenRow])
     val plan = Planner.plan(ds, opts)
     val comp = TokenCompressor(opts)
@@ -111,7 +116,7 @@ object BenchCluster {
                     nParts: Int): Unit = {
     val s = makeSession(workers)
     try {
-      val once = encoder(s, fixturePath, nParts, pack = false)
+      val once = encoder(s, fixturePath, nParts, pack = None)
       val t00 = System.nanoTime()
       def spent: Double = (System.nanoTime() - t00) / 1e9
       // lifetime bound: even if the parent dies without sending quit, the
@@ -145,7 +150,7 @@ object BenchCluster {
   }
 
   private def oneshot(fixturePath: String, workers: Int, maxReps: Int,
-                      nParts: Int, pack: Boolean): Unit = {
+                      nParts: Int, pack: Option[Boolean]): Unit = {
     val s = makeSession(workers)
     try {
       val once = encoder(s, fixturePath, nParts, pack)
