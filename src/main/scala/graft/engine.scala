@@ -17,10 +17,42 @@ object Zframe {
       true
     } catch { case _: Throwable => false }
 
+  // The static Zstd.compress/decompress one-shots create and free a native
+  // context per call; at ~1000 blocks/partition that allocation showed up in
+  // the round-8 JFR profile. One reusable context per task thread (keyed by
+  // level for the compressor) produces byte-identical frames — zstd-jni's
+  // one-shots delegate to the same ZSTD_compress2 path with content size on
+  // (pinned byte-identical by EngineSpec). GRAFT_ZSTD_ONESHOT=1 is the A/B
+  // kill-switch back to the static calls (JVM-wide, read once).
+  private val useOneShot: Boolean = sys.env.contains("GRAFT_ZSTD_ONESHOT")
+  private val cctxCache =
+    new ThreadLocal[(Int, com.github.luben.zstd.ZstdCompressCtx)]
+  private val plainDctx =
+    new ThreadLocal[com.github.luben.zstd.ZstdDecompressCtx] {
+      override def initialValue() = new com.github.luben.zstd.ZstdDecompressCtx()
+    }
+
+  private def cctxFor(level: Int): com.github.luben.zstd.ZstdCompressCtx = {
+    var e = cctxCache.get()
+    if (e == null) {
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      ctx.setContentSize(true)
+      e = (Int.MinValue, ctx)
+    }
+    if (e._1 != level) {
+      e._2.setLevel(level)
+      e = (level, e._2)
+      cctxCache.set(e)
+    }
+    e._2
+  }
+
   /** Returns (framedOrPlain, outerName). Frames only when it shrinks. */
   def frame(bytes: Array[Byte], level: Int): (Array[Byte], String) = {
     if (level <= 0 || !available || bytes.length < 64) return (bytes, "none")
-    val z = com.github.luben.zstd.Zstd.compress(bytes, level)
+    val z =
+      if (useOneShot) com.github.luben.zstd.Zstd.compress(bytes, level)
+      else cctxFor(level).compress(bytes)
     if (z.length < bytes.length) (z, "zstd") else (bytes, "none")
   }
 
@@ -69,7 +101,8 @@ object Zframe {
     case "none" => bytes
     case "zstd" =>
       val n = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
-      com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
+      if (useOneShot) com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
+      else plainDctx.get().decompress(bytes, n.toInt)
     case "zstdd" =>
       require(zdict != null && zdict.nonEmpty,
         "outer frame 'zstdd' requires the block's zdict column")

@@ -14,6 +14,25 @@ class EngineSpec extends AnyFunSuite {
 
   private val NDocs = 3000L
 
+  test("reused-context zstd frame is byte-identical to the static one-shot") {
+    // Zframe.frame moved to a thread-local ZstdCompressCtx (round 8); the
+    // encoded_bytes metric has been bit-stable across rounds, so pin that
+    // the reused context emits the same frame the one-shot did.
+    val rnd = new scala.util.Random(7)
+    for (level <- Seq(1, 3); trial <- 1 to 5) {
+      val src = new Array[Byte](256 + rnd.nextInt(65536))
+      rnd.nextBytes(src)
+      // make it compressible so frame() actually frames
+      java.util.Arrays.fill(src, src.length / 2, src.length, 0x11.toByte)
+      val (framed, outer) = Zframe.frame(src, level)
+      val oneShot = com.github.luben.zstd.Zstd.compress(src, level)
+      if (outer == "zstd")
+        assert(java.util.Arrays.equals(framed, oneShot),
+          s"ctx frame != one-shot frame at level $level trial $trial")
+      assert(Zframe.unframe(framed, outer).sameElements(src))
+    }
+  }
+
   test("encode -> decode round-trips the fixture table bit-identically") {
     import spark.implicits._
     val input = Fixtures.tokenTable(spark, NDocs)
