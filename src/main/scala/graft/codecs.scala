@@ -326,6 +326,13 @@ object DictCodec extends TableCodec {
   val MaxDict = 1 << 20
   type Table = Array[Int] // sorted distinct values
 
+  /** A/B kill-switch for the round-8 dict kernels (bitmap train +
+    * dense-LUT encode): GRAFT_DICT_LEGACY=1 restores the sort-dedupe /
+    * binary-search paths (JVM-wide, read once). DictKernelSpec pins the
+    * two byte-identical.
+    */
+  private val useLegacy: Boolean = sys.env.contains("GRAFT_DICT_LEGACY")
+
   override def applicable(s: BlockStats): Boolean = s.distinctExact
   def estimate(s: BlockStats): Long =
     if (!s.distinctExact) Long.MaxValue
@@ -335,17 +342,60 @@ object DictCodec extends TableCodec {
     }
 
   def train(tokens: Array[Int]): Array[Int] = {
-    // sort a copy, dedupe in place -> sorted dict (boxing-free)
-    val sorted = tokens.clone()
-    java.util.Arrays.sort(sorted)
-    var d = 0
+    // The r8 JFR profile put the block sort (~118k tokens/block at the
+    // bench fixture) high in encode self-time; when the value range is
+    // vocab-sized, a dense bitmap yields the identical sorted-distinct
+    // dict in O(n + range/64) with no sort. Wide-range data falls back
+    // to the original sort-dedupe. Both paths produce the same array.
+    if (tokens.isEmpty) return new Array[Int](0)
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
     var i = 0
-    while (i < sorted.length) {
-      if (d == 0 || sorted(i) != sorted(d - 1)) { sorted(d) = sorted(i); d += 1 }
+    while (i < tokens.length) {
+      val v = tokens(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
       i += 1
     }
-    require(d <= MaxDict, s"dict too large: $d")
-    java.util.Arrays.copyOf(sorted, d)
+    val range = mx.toLong - mn.toLong
+    if (!useLegacy && range < Analyzer.BitmapRangeCap) {
+      val bm = new Array[Long]((range >>> 6).toInt + 1)
+      i = 0
+      while (i < tokens.length) {
+        val idx = tokens(i) - mn
+        bm(idx >>> 6) |= (1L << idx) // JVM shift masks idx & 63
+        i += 1
+      }
+      var d = 0
+      var w = 0
+      while (w < bm.length) { d += java.lang.Long.bitCount(bm(w)); w += 1 }
+      require(d <= MaxDict, s"dict too large: $d")
+      val dict = new Array[Int](d)
+      var o = 0
+      w = 0
+      while (w < bm.length) {
+        var bits = bm(w)
+        while (bits != 0L) {
+          dict(o) = mn + (w << 6) + java.lang.Long.numberOfTrailingZeros(bits)
+          o += 1
+          bits &= bits - 1
+        }
+        w += 1
+      }
+      dict
+    } else {
+      // sort a copy, dedupe in place -> sorted dict (boxing-free)
+      val sorted = tokens.clone()
+      java.util.Arrays.sort(sorted)
+      var d = 0
+      i = 0
+      while (i < sorted.length) {
+        if (d == 0 || sorted(i) != sorted(d - 1)) { sorted(d) = sorted(i); d += 1 }
+        i += 1
+      }
+      require(d <= MaxDict, s"dict too large: $d")
+      java.util.Arrays.copyOf(sorted, d)
+    }
   }
 
   def tableBytes(dict: Array[Int]): Array[Byte] = {
@@ -382,14 +432,52 @@ object DictCodec extends TableCodec {
     dict
   }
 
+  /** Dense value->code table when the dict's span is vocab-sized: O(1)
+    * lookups instead of the per-token binary search that topped the r8
+    * JFR encode profile. Cached per dict INSTANCE (reference equality)
+    * and per thread, so a cached table reused across a run of blocks
+    * (tryCached) builds its LUT once. -1 marks absent values.
+    */
+  private val LutSpanCap = 1 << 20 // 4 MiB int[] worst case
+  private val lutCache = new ThreadLocal[(Array[Int], Array[Int])]
+
+  private def lutFor(dict: Array[Int]): Array[Int] = {
+    if (useLegacy) return null
+    val span = dict(dict.length - 1).toLong - dict(0).toLong
+    if (span >= LutSpanCap) return null
+    val e = lutCache.get()
+    if (e != null && (e._1 eq dict)) return e._2
+    val base = dict(0)
+    val lut = new Array[Int](span.toInt + 1)
+    java.util.Arrays.fill(lut, -1)
+    var i = 0
+    while (i < dict.length) { lut(dict(i) - base) = i; i += 1 }
+    lutCache.set((dict, lut))
+    lut
+  }
+
   def encodeWith(dict: Array[Int], tokens: Array[Int]): Option[Array[Byte]] = {
     val codes = new Array[Int](tokens.length)
+    val lut = if (dict.nonEmpty) lutFor(dict) else null
     var i = 0
-    while (i < tokens.length) {
-      val c = java.util.Arrays.binarySearch(dict, tokens(i))
-      if (c < 0) return None // value outside the cached dictionary
-      codes(i) = c
-      i += 1
+    if (lut != null) {
+      val base = dict(0)
+      val top = dict(dict.length - 1)
+      while (i < tokens.length) {
+        val v = tokens(i)
+        if (v < base || v > top) return None // outside the cached dictionary
+        val c = lut(v - base)
+        if (c < 0) return None
+        codes(i) = c
+        i += 1
+      }
+    } else {
+      while (i < tokens.length) {
+        val c = java.util.Arrays.binarySearch(dict, tokens(i))
+        if (c < 0) return None // value outside the cached dictionary
+        codes(i) = c
+        i += 1
+      }
     }
     val w = if (dict.length <= 1) 0 else bitsNeeded(dict.length - 1)
     val out = new Array[Byte](1 + packedSize(tokens.length, w))
