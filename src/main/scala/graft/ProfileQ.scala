@@ -25,6 +25,10 @@ object ProfileQ {
       .config("spark.local.dir",
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_prof_shuffle"
         else s"${sys.props("java.io.tmpdir")}/graft_prof_shuffle")
+      // mirror Bench.session exactly so profiled plans and timings match
+      // what the driver's bench measures
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (1 * 1024 * 1024).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     try {

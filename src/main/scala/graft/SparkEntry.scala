@@ -19,6 +19,42 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Scratch roots for the table-shaped oracle queries (stream ingest /
+    * compaction, range reads, the incremental-dedup index): tmpfs when the
+    * box has one, for the same reason the bench pins its shuffle dir there
+    * (Bench.shuffleDir) — the sandbox root disk throttles under sustained
+    * writeback, so scratch-table writes through /tmp measure the disk's
+    * burst-credit budget, not the engine (a production table's storage
+    * tier is provisioned; this scratch data is per-query and tiny). One
+    * per-process root, deleted on JVM exit; every query invocation still
+    * creates a FRESH directory under it and recomputes from its inputs.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val base =
+      if (new java.io.File("/dev/shm").isDirectory)
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val root = java.nio.file.Files.createTempDirectory(base, "graft_q_scratch_")
+    def deleteRec(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRec)
+      f.delete(): Unit
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root.toFile)))
+    root
+  }
+  private def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
+  /** Encode-pipeline partition count for the oracle queries: scales with
+    * the session's parallelism instead of a constant tuned for neither
+    * local mode nor a cluster (guide §2 — scale-adaptive partitioning).
+    * Query RESULTS are partitioning-invariant: digests aggregate per
+    * doc_id and range reads filter rows by doc_id, so the oracle pins
+    * them regardless of the part count.
+    */
+  private def encParts(s: SparkSession): Int =
+    math.min(128, math.max(8, s.sparkContext.defaultParallelism))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -143,7 +179,7 @@ object SparkEntry {
   type Q = (SparkSession, String) => DataFrame
 
   private def rt(policy: String): Q = (s, dir) =>
-    TokenTables.roundTripDigest(s, dir, policy).orderBy("doc_id")
+    TokenTables.roundTripDigest(s, dir, policy, encParts(s)).orderBy("doc_id")
 
   private val digestOracle: String =
     TokenTables.lineitemDigestOracle + "\nORDER BY doc_id"
@@ -163,7 +199,7 @@ object SparkEntry {
       // serialized to a sortable scalar (comma string) so the driver's
       // pandas compare can order and hash it on both sides
       val input = TokenTables.fromLineitem(s, dir)
-      val comp = TokenCompressor(EncodeOptions(numParts = 8))
+      val comp = TokenCompressor(EncodeOptions(numParts = encParts(s)))
       comp.decode(comp.encode(input)).toDF()
         .select(col("doc_id"),
           concat_ws(",", col("tokens").cast("array<string>")).as("toks"),
@@ -175,17 +211,17 @@ object SparkEntry {
       // bytes); the round-trip digest proves the mode changes nothing
       // semantically (the bound assert itself lives in EngineSpec)
       val input = TokenTables.fromLineitem(s, dir)
-      val comp = TokenCompressor(EncodeOptions(numParts = 8, strictSizeBound = true))
+      val comp = TokenCompressor(EncodeOptions(numParts = encParts(s), strictSizeBound = true))
       TokenTables.digest(comp.decode(comp.encode(input))).orderBy("doc_id")
     }),
     "stream_ingest" -> ((s, dir) => {
       // Structured Streaming ingestion end-to-end: file stream -> per-batch
       // block encode -> snapshot commit -> committed-only read-back; the
       // decoded digest must equal the batch oracle exactly
-      val tmpIn = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
-      val table = java.nio.file.Files.createTempDirectory("graft_stream_tbl").toString
+      val tmpIn = scratchDir("graft_stream_in")
+      val table = scratchDir("graft_stream_tbl")
       TokenTables.fromLineitem(s, dir).write.mode("overwrite").parquet(tmpIn)
-      val q = StreamingEncode.start(s, tmpIn, table, EncodeOptions(numParts = 4))
+      val q = StreamingEncode.start(s, tmpIn, table, EncodeOptions(numParts = encParts(s)))
       q.awaitTermination()
       TokenTables.digest(StreamingEncode.readDecoded(s, table)).orderBy("doc_id")
     }),
@@ -195,20 +231,20 @@ object SparkEntry {
       // equal the batch oracle — compaction is a physical re-layout with
       // zero logical effect (block-size/file-count recovery is pinned by
       // CompactionSpec; this query pins content preservation)
-      val tmpIn = java.nio.file.Files.createTempDirectory("graft_cstream_in").toString
-      val table = java.nio.file.Files.createTempDirectory("graft_cstream_tbl").toString
+      val tmpIn = scratchDir("graft_cstream_in")
+      val table = scratchDir("graft_cstream_tbl")
       TokenTables.fromLineitem(s, dir).write.mode("overwrite").parquet(tmpIn)
-      val q = StreamingEncode.start(s, tmpIn, table, EncodeOptions(numParts = 4))
+      val q = StreamingEncode.start(s, tmpIn, table, EncodeOptions(numParts = encParts(s)))
       q.awaitTermination()
-      StreamingEncode.compact(s, table, EncodeOptions(numParts = 4))
+      StreamingEncode.compact(s, table, EncodeOptions(numParts = encParts(s)))
       TokenTables.digest(StreamingEncode.readDecoded(s, table)).orderBy("doc_id")
     }),
     "enc_range_read" -> ((s, dir) => {
       // encode to a manifest table, then a pruned doc_id-range read
       // (partition + block min/max pruning before any payload decode)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_range_q").toString
+      val tmp = scratchDir("graft_range_q")
       val input = TokenTables.fromLineitem(s, dir)
-      ResumableEncodeJob.run(input, tmp, EncodeOptions(numParts = 8))
+      ResumableEncodeJob.run(input, tmp, EncodeOptions(numParts = encParts(s)))
       TokenTables.digest(
         RangeReader.readRange(s, tmp, "0000000100-00", "0000000400-99"))
         .orderBy("doc_id")
@@ -217,10 +253,10 @@ object SparkEntry {
       // the fsst sync-table slice path (round 6) under the oracle: a
       // pinned-fsst table's pruned range read decodes via in-body sync
       // points + per-interval digest verification instead of full blocks
-      val tmp = java.nio.file.Files.createTempDirectory("graft_range_qf").toString
+      val tmp = scratchDir("graft_range_qf")
       val input = TokenTables.fromLineitem(s, dir)
       ResumableEncodeJob.run(input, tmp,
-        EncodeOptions(numParts = 8, codecPolicy = "fsst"))
+        EncodeOptions(numParts = encParts(s), codecPolicy = "fsst"))
       TokenTables.digest(
         RangeReader.readRange(s, tmp, "0000000200-00", "0000000600-99"))
         .orderBy("doc_id")
@@ -229,9 +265,9 @@ object SparkEntry {
       // mid-ingest visibility (round 6): a committed stream batch NOT yet
       // compacted must be readable by the range reader — pre-fix this
       // returned empty while readDecoded returned the rows
-      val tmp = java.nio.file.Files.createTempDirectory("graft_tail_q").toString
+      val tmp = scratchDir("graft_tail_q")
       val input = TokenTables.fromLineitem(s, dir)
-      StreamingEncode.appendBatch(input, tmp, EncodeOptions(numParts = 8), batchId = 0L)
+      StreamingEncode.appendBatch(input, tmp, EncodeOptions(numParts = encParts(s)), batchId = 0L)
       TokenTables.digest(
         RangeReader.readRange(s, tmp, "0000000100-00", "0000000400-99"))
         .orderBy("doc_id")
@@ -240,7 +276,7 @@ object SparkEntry {
       // totals are closed-form from lineitem (8 tokens/row, 4B/token + 4B
       // length prefix), so the whole-pipeline accounting is oracle-checked
       val input = TokenTables.fromLineitem(s, dir)
-      TokenCompressor(EncodeOptions(numParts = 8)).encode(input).toDF()
+      TokenCompressor(EncodeOptions(numParts = encParts(s))).encode(input).toDF()
         .agg(
           sum("n_tokens").as("n_tokens"),
           sum("raw_bytes").as("raw_bytes"),
@@ -554,7 +590,7 @@ object SparkEntry {
       // touching a decoy is admitted to the output, so the oracle (which
       // lists only planted pairs) hash-breaks on false positives. The
       // bucket cap's dropped-pair audit rides in-band; the oracle pins 0.
-      val table = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+      val table = scratchDir("graft_mh_idx")
       val base = docs(s, dir).select(col("doc_id"), col("text"))
       MinhashIndex.commit(base, table)
       val planted = base.where(col("doc_id") % 10 === 0)

@@ -145,12 +145,25 @@ object Planner {
     */
   val MaxSampleKeys: Long = 1L << 20
 
-  /** Deterministic sampleMod so the collected sample stays <= MaxSampleKeys:
-    * purely a function of the input row count, so re-runs (resume) derive
-    * the identical plan.
+  /** Auto-sampling targets ~1 Ki sampled keys per requested partition
+    * (clamped to [2^16, MaxSampleKeys]) instead of always filling the
+    * MaxSampleKeys ceiling: boundary placement error scales with
+    * 1/(samples per part), so 1 Ki/part is already far below the 2x salt
+    * threshold, while collecting and sorting a full-ceiling sample cost
+    * ~2 s of driver time on EVERY plan() call (measured round 9 — half
+    * the wall time of each oracle encode query came from planning).
     */
-  def autoSampleMod(rowCount: Long): Int =
-    math.max(1L, (rowCount + MaxSampleKeys - 1) / MaxSampleKeys).toInt
+  def targetSampleKeys(numParts: Int): Long =
+    math.min(MaxSampleKeys, math.max(1L << 16, numParts.toLong << 10))
+
+  /** Deterministic sampleMod so the collected sample stays near the target:
+    * purely a function of the input row count (and the requested part
+    * count), so re-runs (resume) derive the identical plan.
+    */
+  def autoSampleMod(rowCount: Long): Int = autoSampleMod(rowCount, MaxSampleKeys)
+
+  def autoSampleMod(rowCount: Long, targetKeys: Long): Int =
+    math.max(1L, (rowCount + targetKeys - 1) / targetKeys).toInt
 
   /** Build a plan from a deterministic hash-selected sample of
     * (doc_id, n_tok). sampleMod<=0 (the default) self-tunes from a count()
@@ -168,17 +181,33 @@ object Planner {
   def plan(ds: Dataset[TokenRow], opts: EncodeOptions): PartitionPlan = {
     val mod =
       if (opts.sampleMod > 0) opts.sampleMod
-      else autoSampleMod(ds.count())
+      else autoSampleMod(ds.count(), targetSampleKeys(opts.numParts))
     val sampled =
       if (mod <= 1) ds.select(col("doc_id"), col("n_tok"))
       else
         ds.select(col("doc_id"), col("n_tok"))
           .where(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
-    val rows = sampled
+    val collected = sampled
       .collect()
       .map(r => (r.getString(0), r.getInt(1).toLong))
-      .sortBy(_._1)(DocIdOrder)
-    fromSample(rows, opts.numParts)
+    fromSample(sortByDocId(collected), opts.numParts)
+  }
+
+  /** [[DocIdOrder]] sort of the collected sample with the UTF-8 encoding
+    * hoisted out of the comparator: `sortBy(_._1)(DocIdOrder)` re-encoded
+    * both strings on every one of the O(n log n) comparisons (~1.2 s of
+    * single-threaded driver time at a 600 K-key sample); one encode per
+    * key plus `Arrays.compareUnsigned` is the identical ordering at a
+    * fraction of the cost.
+    */
+  private[graft] def sortByDocId(rows: Array[(String, Long)]): Array[(String, Long)] = {
+    val keyed = rows.map { t =>
+      (t._1.getBytes(java.nio.charset.StandardCharsets.UTF_8), t)
+    }
+    java.util.Arrays.sort(keyed,
+      (a: (Array[Byte], (String, Long)), b: (Array[Byte], (String, Long))) =>
+        java.util.Arrays.compareUnsigned(a._1, b._1))
+    keyed.map(_._2)
   }
 
   /** Pure, deterministic plan construction from a doc_id-sorted weighted

@@ -50,20 +50,23 @@ object StreamingEncode {
       // batch-scoped directory: deterministic overwrite on retry
       val dir = s"$table/stream_batches/batch=$batchId"
       blocks.write.mode(SaveMode.Overwrite).parquet(dir)
-      val m = blocks.agg(
+      // ONE aggregation job serves both the lineage totals and the
+      // per-codec counts (r9: the totals agg and the codec groupBy were
+      // two separate jobs over the persisted blocks; grouped partials sum
+      // and xor-fold driver-side to the identical totals). An empty
+      // micro-batch (replay after checkpoint recovery) collects zero
+      // groups and every total stays 0.
+      val perCodec = blocks.groupBy("codec").agg(
         count(lit(1)).as("blocks"), sum("n_docs").as("docs"),
         sum("n_tokens").as("toks"), sum("raw_bytes").as("raw"),
         sum("encoded_bytes").as("enc"),
         expr("bit_xor(checksum)").as("ckx"),
-        sum("enc_micros").as("micros")).head()
-      val newCodecs = blocks.groupBy("codec").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getAs[String]("codec") -> r.getAs[Long]("n")).toMap
-      // an empty micro-batch (replay after checkpoint recovery) aggregates
-      // every sum to NULL; count is the only non-nullable column
-      def ln(name: String): Long = {
-        val i = m.fieldIndex(name)
-        if (m.isNullAt(i)) 0L else m.getLong(i)
-      }
+        sum("enc_micros").as("micros")).collect()
+      val newCodecs = perCodec.iterator
+        .map(r => r.getAs[String]("codec") -> r.getAs[Long]("blocks")).toMap
+      def ln(name: String): Long =
+        if (name == "ckx") perCodec.foldLeft(0L)(_ ^ _.getAs[Long]("ckx"))
+        else perCodec.iterator.map(_.getAs[Long](name)).sum
       // stream lineage carries the SAME fields as batch parts (round-2
       // verdict item 6): xor-of-checksums folds associatively across
       // batches, codec counts merge by sum, wall_micros accumulates the

@@ -144,9 +144,10 @@ object TokenTables {
     * the digest of the DECODED rows — if any token bit flips anywhere in
     * the pipeline, the oracle hash mismatches.
     */
-  def roundTripDigest(spark: SparkSession, dir: String, policy: String): DataFrame = {
+  def roundTripDigest(spark: SparkSession, dir: String, policy: String,
+                      numParts: Int = 8): DataFrame = {
     val input = fromLineitem(spark, dir)
-    val opts = EncodeOptions(codecPolicy = policy, numParts = 8)
+    val opts = EncodeOptions(codecPolicy = policy, numParts = numParts)
     val comp = TokenCompressor(opts)
     digest(comp.decode(comp.encode(input)))
   }

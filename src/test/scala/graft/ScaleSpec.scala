@@ -50,6 +50,20 @@ class ScaleSpec extends AnyFunSuite {
     // 10^12 rows / autoSampleMod <= MaxSampleKeys + slack
     val mod = Planner.autoSampleMod(1000L * 1000 * 1000 * 1000)
     assert(1000L * 1000 * 1000 * 1000 / mod <= Planner.MaxSampleKeys + 1)
+    // r9: plan() aims at ~1 Ki keys/part (floor 2^16, ceiling MaxSampleKeys)
+    // instead of always filling the ceiling — the collect+sort of a
+    // ceiling-sized sample cost ~2 s of driver wall per plan() call
+    assert(Planner.targetSampleKeys(8) == (1L << 16))
+    assert(Planner.targetSampleKeys(128) == (1L << 17))
+    assert(Planner.targetSampleKeys(4096) == (1L << 20))
+    assert(Planner.targetSampleKeys(1 << 20) == Planner.MaxSampleKeys)
+    assert(Planner.autoSampleMod(600000L, Planner.targetSampleKeys(8)) == 10)
+    // sortByDocId is DocIdOrder exactly (byte order, incl. supplementary
+    // plane chars where UTF-16 code-unit order diverges)
+    val ids = Array("b", "a𐀀z", "a￿z", "", "aa", "a")
+      .map(s => (s, 1L))
+    assert(Planner.sortByDocId(ids).map(_._1).toSeq ==
+      ids.map(_._1).sortWith((x, y) => DocIdOrder.compare(x, y) < 0).toSeq)
     val ds = Fixtures.tokenTable(spark, 500L)
     val auto = Planner.plan(ds, EncodeOptions(numParts = 8)) // sampleMod=0 -> auto
     val exact = Planner.plan(ds, EncodeOptions(numParts = 8, sampleMod = 1))
