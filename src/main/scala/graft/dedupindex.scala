@@ -155,7 +155,10 @@ object MinhashIndex {
       .write.mode(SaveMode.Overwrite).parquet(new Path(d, "buckets").toString)
     sigs.select(col("doc_id"), col("sig"))
       .write.mode(SaveMode.Overwrite).parquet(new Path(d, "sigs").toString)
-    val nNew = spark.read.parquet(new Path(d, "sigs").toString).count()
+    // count from the persisted signature frame (cache hit) instead of
+    // re-reading the files just written — one fewer scan per commit, same
+    // number by construction (the write materialized exactly these rows)
+    val nNew = sigs.count()
     TextOps.SigCache.clear()
     val snap = MinhashIndexSnapshot(
       v, System.currentTimeMillis(), k, bands,

@@ -321,13 +321,20 @@ object ResumableEncodeJob {
       if (f.exists(d)) f.delete(d, true)
     }
 
-    val blocks = compressor.encodeWithPlan(input, plan, Some(batch))
-    blocks.toDF().write
-      .mode(SaveMode.Append)
-      .partitionBy("part_id")
-      .parquet(ManifestIO.dataDir(table).toString)
-
-    val lineage = lineageFor(spark, table, batch)
+    // one encode pass feeds BOTH the parquet write and the lineage
+    // aggregation (r9 — same law appendBatch already applied): the former
+    // read-back of the just-written files cost an extra listing + scan per
+    // run, and the persisted blocks provably describe what was encoded
+    val blocks = compressor.encodeWithPlan(input, plan, Some(batch)).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lineage =
+      try {
+        blocks.write
+          .mode(SaveMode.Append)
+          .partitionBy("part_id")
+          .parquet(ManifestIO.dataDir(table).toString)
+        lineageOf(blocks)
+      } finally { blocks.unpersist(); () }
 
     // parts in the batch with zero rows still count as committed
     val next = Snapshot(
@@ -357,6 +364,13 @@ object ResumableEncodeJob {
       .schema(Encoders.product[EncodedBlock].schema)
       .parquet(ManifestIO.dataDir(table).toString)
       .where(col("part_id").isin(batch.toSeq: _*))
+    lineageOf(written)
+  }
+
+  /** The lineage aggregation alone, over any block DataFrame (the written
+    * files or the persisted encode output — identical rows either way).
+    */
+  private def lineageOf(written: org.apache.spark.sql.DataFrame): Map[Int, PartLineage] = {
     written
       .groupBy("part_id", "codec")
       .agg(
@@ -430,17 +444,23 @@ object ResumableEncodeJob {
     val srcBlocks = readBlocks(spark, srcTable)
       .where(col("part_id").isin(batch.toSeq: _*))
       .as[EncodedBlock](org.apache.spark.sql.Encoders.product[EncodedBlock])
-    TokenCompressor(opts).recompress(srcBlocks).toDF()
-      .write.mode(SaveMode.Append)
-      .partitionBy("part_id")
-      .parquet(ManifestIO.dataDir(dstTable).toString)
+    // one recompress pass feeds the write AND the lineage agg (see run())
+    val out = TokenCompressor(opts).recompress(srcBlocks).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lineage =
+      try {
+        out.write.mode(SaveMode.Append)
+          .partitionBy("part_id")
+          .parquet(ManifestIO.dataDir(dstTable).toString)
+        lineageOf(out)
+      } finally { out.unpersist(); () }
 
     val next = Snapshot(
       base.version + 1,
       System.currentTimeMillis(),
       srcSnap.plan,
       base.committed ++ batch,
-      base.lineage ++ lineageFor(spark, dstTable, batch),
+      base.lineage ++ lineage,
       zdictEnabled = base.zdictEnabled
     )
     ManifestIO.write(spark, dstTable, next)
