@@ -10,7 +10,8 @@ import org.apache.spark.sql.{Encoders, SparkSession, functions => F}
   * for JFR sampling runs (`-XX:StartFlightRecording`).
   *
   * Usage: runMain graft.BenchProfile <cores> <reps> <variant...>
-  *   variants: full | nozstd | plainz0 | nochecksum | decode | recompress
+  *   variants: full | nozstd | plainz0 | plain | nopack | decode |
+  *             decodenv | recompress
   */
 object BenchProfile {
   private def session(cores: Int): SparkSession = {

@@ -441,12 +441,17 @@ object DictCodec extends TableCodec {
   private val LutSpanCap = 1 << 20 // 4 MiB int[] worst case
   private val lutCache = new ThreadLocal[(Array[Int], Array[Int])]
 
-  private def lutFor(dict: Array[Int]): Array[Int] = {
+  private def lutFor(dict: Array[Int], nTokens: Int): Array[Int] = {
     if (useLegacy) return null
     val span = dict(dict.length - 1).toLong - dict(0).toLong
     if (span >= LutSpanCap) return null
     val e = lutCache.get()
     if (e != null && (e._1 eq dict)) return e._2
+    // fresh build is O(span) fill: only worth it when the block (times the
+    // typical tryCached reuse run it seeds) amortizes that over enough
+    // O(1) lookups — a small block against a wide-span dict would pay a
+    // multi-MiB fill to replace a few hundred binary searches (ADVICE r8)
+    if (nTokens.toLong * 64 < span) return null
     val base = dict(0)
     val lut = new Array[Int](span.toInt + 1)
     java.util.Arrays.fill(lut, -1)
@@ -458,7 +463,7 @@ object DictCodec extends TableCodec {
 
   def encodeWith(dict: Array[Int], tokens: Array[Int]): Option[Array[Byte]] = {
     val codes = new Array[Int](tokens.length)
-    val lut = if (dict.nonEmpty) lutFor(dict) else null
+    val lut = if (dict.nonEmpty) lutFor(dict, tokens.length) else null
     var i = 0
     if (lut != null) {
       val base = dict(0)

@@ -24,6 +24,14 @@ object Zframe {
   // one-shots delegate to the same ZSTD_compress2 path with content size on
   // (pinned byte-identical by EngineSpec). GRAFT_ZSTD_ONESHOT=1 is the A/B
   // kill-switch back to the static calls (JVM-wide, read once).
+  // Lifetime note (ADVICE r8): these thread-locals (and DictCodec's one-slot
+  // LUT cache) are BOUNDED per pool thread — one compress + one decompress
+  // context (~KBs native) and at most one ≤4 MiB int[] — and deliberately
+  // survive task end so consecutive tasks on a long-lived executor thread
+  // skip re-creation; reclamation of the native contexts relies on
+  // zstd-jni's finalizers at thread death. The per-partition dict contexts
+  // in BlockEncoder.TableCache ARE closed eagerly via task-completion
+  // listeners (unbounded count per task, unlike these).
   private val useOneShot: Boolean = sys.env.contains("GRAFT_ZSTD_ONESHOT")
   private val cctxCache =
     new ThreadLocal[(Int, com.github.luben.zstd.ZstdCompressCtx)]

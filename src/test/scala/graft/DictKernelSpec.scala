@@ -100,6 +100,23 @@ class DictKernelSpec extends AnyFunSuite {
     assert(DictCodec.encodeWith(wide, Array(Int.MaxValue, 0)).isDefined, "wide members")
   }
 
+  test("LUT amortization gate (r9): small block vs wide-span dict stays byte-identical") {
+    // the r9 gate skips the O(span) LUT fill when tokens.length*64 < span
+    // (a few hundred tokens against a ~1 MiB-span dict paid more for the
+    // fill than the binary searches it replaced — ADVICE r8); both sides
+    // of the boundary must produce the same bytes as the legacy kernel
+    for ((n, spread) <- Seq((100, 1 << 19), (100, 1 << 12), (16384, 1 << 19))) {
+      val toks = Array.tabulate(n)(i => (i * (spread / math.max(n, 1) + 1)) % spread)
+      check(toks, s"gate n=$n spread=$spread")
+      val dict = DictCodec.train(toks)
+      // reuse against the just-trained dict exercises the cached-LUT hit
+      // (when built) or the repeated binary-search path (when gated off)
+      val again = DictCodec.encodeWith(dict, toks)
+      val ref = legacyEncodeWith(dict, toks)
+      assert(again.isDefined && java.util.Arrays.equals(again.get, ref.get))
+    }
+  }
+
   test("LUT cache keyed by dict instance, not contents") {
     val d1 = DictCodec.train(Array(1, 2, 3))
     val d2 = DictCodec.train(Array(1, 2, 4))
